@@ -1,0 +1,214 @@
+"""Differentiable-forward warping by point splatting (pure JAX).
+
+This is the TPU-native replacement for the reference's PyTorch3D z-buffer
+point rasterizer (`RasterizePointsXYsBlending`, warp_utils.py:28-176) and the
+`warp_grid_edit` dispatcher (warp_utils.py:798-837), which together implement
+*every* forward warp in GeoDiffuser (images, latents, masks, attention
+queries).
+
+Design notes (TPU-first, not a port):
+ * The reference rasterizes k-nearest points per pixel by depth and
+   alpha-composites front-to-back (CUDA kernels).  Hard per-pixel top-k +
+   sorting maps poorly to the MXU/VPU; instead we use a two-pass *soft
+   z-buffer*:
+       pass 1: scatter-min of depth  ->  zmin per target pixel
+       pass 2: scatter-add of  w * f  and  w,
+               w = alpha_spatial * exp(-z_beta * (z - zmin[pixel]))
+   with alpha_spatial = (1 - clamp(d^2/r^2, 1e-3, 1)^0.5)^tau — the exact
+   spatial falloff of the reference (warp_utils.py:131-140).  The exp term
+   reproduces hard occlusion as z_beta -> inf.  Coverage dimming of the
+   alpha-over operator is approximated with c = 1 - exp(sum(log(1-alpha))).
+ * Everything is static-shaped: each source point splats onto a fixed
+   `footprint`^2 neighborhood, out-of-bounds contributions are masked to a
+   dump row.
+ * The reference wraps all splats in no_grad (warp_utils.py:72-73), so this
+   op is used under stop_gradient on the edit path; the scatter formulation
+   is nevertheless differentiable end-to-end for free.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from geodiffuser_tpu.ops import image as image_ops
+
+
+def _corner_data(
+    coords: jnp.ndarray,
+    height: int,
+    width: int,
+    radius: jnp.ndarray,
+    tau: jnp.ndarray,
+    footprint: int,
+):
+    """Per-point splat targets and spatial alphas.
+
+    Args:
+        coords: (N, 3) target (x_ndc, y_ndc, z), align_corners=True NDC.
+        radius, tau: traced scalars (annealed per step; editor.py:154-156).
+        footprint: static neighborhood width (2 => bilinear-size 2x2).
+    Returns:
+        idx: (N*F*F,) flat target indices (H*W = dump slot for out-of-bounds)
+        alpha: (N*F*F,) spatial weights
+        z: (N*F*F,) depths
+    """
+    x = (coords[:, 0] + 1.0) * 0.5 * (width - 1)
+    y = (coords[:, 1] + 1.0) * 0.5 * (height - 1)
+    z = coords[:, 2]
+
+    base_x = jnp.floor(x).astype(jnp.int32)
+    base_y = jnp.floor(y).astype(jnp.int32)
+    offs = jnp.arange(footprint, dtype=jnp.int32) - (footprint - 1) // 2
+    # (N, F, F)
+    cx = base_x[:, None, None] + offs[None, :, None]
+    cy = base_y[:, None, None] + offs[None, None, :]
+    dx = cx.astype(jnp.float32) - x[:, None, None]
+    dy = cy.astype(jnp.float32) - y[:, None, None]
+    d2 = dx * dx + dy * dy
+
+    r2 = jnp.maximum(radius * radius, 1e-8)
+    # Reference alpha: (1 - clamp(d2/r2, 1e-3, 1)^0.5)^tau  (warp_utils.py:131-140).
+    # We drop the 1e-3 lower clamp: it exists there so that alpha < 1 keeps
+    # points behind the front alive in ordered compositing; our normalized
+    # accumulation doesn't need it, and without it an exact-hit point has
+    # alpha == 1 so identity warps preserve the image exactly.
+    a = jnp.power(1.0 - jnp.sqrt(jnp.clip(d2 / r2, 0.0, 1.0)), tau)
+
+    in_bounds = (cx >= 0) & (cx < width) & (cy >= 0) & (cy < height)
+    valid = in_bounds & (a > 1e-6)
+    flat_idx = jnp.where(valid, cy * width + cx, height * width)
+    n = coords.shape[0]
+    full = (n, footprint, footprint)
+    zc = jnp.broadcast_to(z[:, None, None], full)
+    return (
+        jnp.broadcast_to(flat_idx, full).reshape(-1),
+        jnp.broadcast_to(jnp.where(valid, a, 0.0), full).reshape(-1),
+        zc.reshape(-1),
+    )
+
+
+def splat_image(
+    src: jnp.ndarray,
+    coords: jnp.ndarray,
+    radius: jnp.ndarray | float = 1.3,
+    tau: jnp.ndarray | float = 1.0,
+    z_beta: float = 20.0,
+    footprint: int = 2,
+    out_hw: tuple[int, int] | None = None,
+) -> jnp.ndarray:
+    """Forward-splat an (H, W, C) image along an (H, W, 3) coordinate field.
+
+    Equivalent role to SPLATTER(pts3D, src) in the reference
+    (warp_utils.py:74-176); zero where nothing lands ('zeros' padding).
+    """
+    h, w, c = src.shape
+    oh, ow = out_hw if out_hw is not None else (h, w)
+    n = h * w
+    radius = jnp.asarray(radius, jnp.float32)
+    tau = jnp.asarray(tau, jnp.float32)
+
+    idx, alpha, z = _corner_data(coords.reshape(n, 3).astype(jnp.float32), oh, ow, radius, tau, footprint)
+
+    # Pass 1: hard z-min per target pixel (the z-buffer).
+    zmin = jnp.full((oh * ow + 1,), jnp.inf, jnp.float32)
+    zmin = zmin.at[idx].min(jnp.where(alpha > 0.0, z, jnp.inf))
+    zref = zmin[idx]
+    zref = jnp.where(jnp.isfinite(zref), zref, 0.0)
+
+    # Pass 2: occlusion-weighted accumulation.
+    wgt = alpha * jnp.exp(-z_beta * jnp.maximum(z - zref, 0.0))
+
+    feats = jnp.repeat(src.reshape(n, c).astype(jnp.float32), footprint * footprint, axis=0)
+    num = jnp.zeros((oh * ow + 1, c), jnp.float32).at[idx].add(wgt[:, None] * feats)
+    den = jnp.zeros((oh * ow + 1,), jnp.float32).at[idx].add(wgt)
+    # Coverage of the alpha-over operator: 1 - prod(1 - alpha_i).
+    log_miss = jnp.zeros((oh * ow + 1,), jnp.float32).at[idx].add(jnp.log1p(-jnp.clip(alpha, 0.0, 1.0 - 1e-4)))
+    coverage = 1.0 - jnp.exp(log_miss)
+
+    out = num[:-1] / jnp.maximum(den[:-1, None], 1e-8) * coverage[:-1, None]
+    return out.reshape(oh, ow, c)
+
+
+def splat_batch(src_bchw_like, coords, **kw):
+    """vmap helper over a leading batch axis of (B, H, W, C) / (B, H, W, 3)."""
+    return jax.vmap(lambda s, t: splat_image(s, t, **kw))(src_bchw_like, coords)
+
+
+def grid_sample(
+    src: jnp.ndarray,
+    coords: jnp.ndarray,
+    padding: str = "zeros",
+) -> jnp.ndarray:
+    """Backward warp (gather): sample (H, W, C) at (H', W', 2) NDC locations.
+
+    Matches torch.nn.functional.grid_sample(mode='bilinear',
+    align_corners=True) — the reference fallback path
+    (warp_utils.py:826-837, forward_warp warp_utils.py:768-795).
+    """
+    h, w, c = src.shape
+    oh, ow = coords.shape[:2]
+    x = (coords[..., 0] + 1.0) * 0.5 * (w - 1)
+    y = (coords[..., 1] + 1.0) * 0.5 * (h - 1)
+    mode = {"zeros": "constant", "reflection": "mirror"}[padding]
+    flat = src.reshape(h, w, c).astype(jnp.float32)
+
+    def sample_channel(ch):
+        return jax.scipy.ndimage.map_coordinates(
+            ch, [y.reshape(-1), x.reshape(-1)], order=1, mode=mode, cval=0.0
+        ).reshape(oh, ow)
+
+    out = jax.vmap(sample_channel, in_axes=-1, out_axes=-1)(flat)
+    return out
+
+
+def warp_field(
+    src: jnp.ndarray,
+    coords: jnp.ndarray,
+    radius: jnp.ndarray | float = 1.3,
+    tau: jnp.ndarray | float = 1.0,
+    z_beta: float = 20.0,
+    use_splat: bool = True,
+    padding: str = "zeros",
+) -> jnp.ndarray:
+    """The single warp entry point (role of warp_grid_edit, warp_utils.py:798-837).
+
+    src: (H, W, C); coords: (H, W, 3) for splatting or (..., 2/3) for sampling.
+    """
+    if use_splat:
+        return splat_image(src, coords, radius=radius, tau=tau, z_beta=z_beta)
+    return grid_sample(src, coords[..., :2], padding=padding)
+
+
+def densified_mask_splat(
+    mask: jnp.ndarray,
+    coords: jnp.ndarray,
+    upsample: int = 4,
+    radius: jnp.ndarray | float = 1.3,
+    tau: jnp.ndarray | float = 1.0,
+    z_beta: float = 20.0,
+    close_kernel: int = 3,
+) -> jnp.ndarray:
+    """Amodal (hole-free) projected object mask.
+
+    The reference builds a triangle mesh over the masked object's 3D points
+    and rasterizes it (get_mesh/splatter_mesh, warp_utils.py:235-399) to get a
+    surface-continuous projection.  TPU-native equivalent: bilinearly densify
+    the coordinate field `upsample`x inside the mask and point-splat — dense
+    enough that the projected surface closes — then morphologically close.
+
+    Args:
+        mask: (H, W) binary object mask.
+        coords: (H, W, 3) transform field.
+    Returns:
+        (H, W) binary amodal mask.
+    """
+    h, w = mask.shape
+    hh, ww = h * upsample, w * upsample
+    coords_up = image_ops.resize_bilinear_hwc(coords, hh, ww)
+    mask_up = image_ops.resize_bilinear(mask.astype(jnp.float32), hh, ww)
+    src = mask_up[..., None]
+    # Splat densified points back at the original resolution.
+    out = splat_image(src, coords_up, radius=radius, tau=tau, z_beta=z_beta, out_hw=(h, w))
+    amodal = image_ops.binarize(out[..., 0], 0.5)
+    return image_ops.closing(amodal, close_kernel)
