@@ -1,0 +1,433 @@
+"""GeoDiffuser shared-attention editing as pure functions.
+
+Functional rewrite of the reference controller stack:
+  * AttentionGeometryEdit.replace_{self,cross}_attention
+    (attention_processors.py:384-624)
+  * AttentionGeometryRemover.replace_{self,cross}_attention
+    (attention_processors.py:748-928)
+  * the four edit losses (attention_processors.py:231-305) and the
+    smoothness TV loss (loss.py:29-40)
+  * the window/stream routing of AttentionGeometryEdit.forward
+    (attention_processors.py:633-664)
+
+Conventions (TPU-first):
+  * qkv are (S, H, L, D): S = CFG streams (4: [uncond_base, uncond_edit,
+    cond_base, cond_edit]; 2 without CFG: [cond_base, cond_edit]),
+    H = heads.  The reference flattens heads into batch
+    (attn.head_to_batch_dim); we keep an explicit axis — better layouts for
+    the MXU and simpler stream slicing.
+  * logits/softmax accumulate in fp32 (bf16 operands), losses in fp32.
+  * gradient boundaries follow the reference exactly: the whole base stream
+    is detached (get_base_edit_qkv, attention_sharing.py:242), edit_out is
+    detached, only replace_out carries gradient.
+
+Known reference defect handled here: compute_attention's two "hard
+constraints" (attention_sharing.py:37-42) assign through chained boolean
+indexing, which mutates a copy — a silent no-op in torch.  We implement the
+*intent* behind `state.apply_constraints` (default False = reference
+behavior).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from geodiffuser_tpu.core.edit_state import AMODAL_MIN_SEQ, LOSS_MIN_SEQ, EditState, MaskSet
+from geodiffuser_tpu.ops import image as image_ops
+from geodiffuser_tpu.ops import splat as splat_ops
+
+sg = jax.lax.stop_gradient
+
+LOG_KEYS = ("sim", "movement", "removal", "smoothness", "amodal")
+
+
+def collect_edit_aux(aux_cols) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Sum the per-layer sown losses/logs from apply(..., mutable=['edit']).
+
+    Functional replacement for `controller.loss` / `controller.loss_log_dict`
+    accumulation (attention_processors.py:494-498, 604-608).
+    """
+    import flax.traverse_util as tu
+
+    flat = tu.flatten_dict(aux_cols["edit"])
+    loss = jnp.float32(0.0)
+    logs = zero_logs()
+    for key, val in flat.items():
+        if key[-1] == "loss":
+            loss = loss + val
+        elif key[-2] == "logs":
+            logs[key[-1]] = logs[key[-1]] + val
+    return loss, logs
+
+
+def normalize_logs(logs: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Per-layer average of the logged loss components, like
+    convert_loss_log_to_numpy's division by num_layers."""
+    n = jnp.maximum(logs.get("num_layers", jnp.float32(0.0)), 1.0)
+    return {k: (v / n if k != "num_layers" else v) for k, v in logs.items()}
+
+
+def zero_logs() -> Dict[str, jnp.ndarray]:
+    logs = {f"{b}/{k}": jnp.float32(0.0) for b in ("self", "cross") for k in LOG_KEYS}
+    logs["num_layers"] = jnp.float32(0.0)
+    return logs
+
+
+def attn_probs(q: jnp.ndarray, k: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """softmax(q k^T * scale) with fp32 accumulation.  (.., Lq, D) x (.., Lk, D)."""
+    logits = jnp.einsum("...id,...jd->...ij", q, k, preferred_element_type=jnp.float32)
+    return jax.nn.softmax(logits * scale, axis=-1)
+
+
+def attn_out(probs: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    return jnp.einsum(
+        "...ij,...jd->...id", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(v.dtype)
+
+
+def vanilla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float) -> jnp.ndarray:
+    return attn_out(attn_probs(q, k, scale), v)
+
+
+# ---------------------------------------------------------------------------
+# Losses (all fp32; masks are flattened (L,) floats)
+# ---------------------------------------------------------------------------
+
+def background_preservation_loss(
+    edit_out: jnp.ndarray, replace_out: jnp.ndarray, mask_bg: jnp.ndarray, eps: float = 1e-8
+) -> jnp.ndarray:
+    """Masked L1 between detached shared-attention output and the live edit
+    output over the background (attention_processors.py:231-246)."""
+    diff = jnp.abs(sg(edit_out).astype(jnp.float32) - replace_out.astype(jnp.float32))
+    num = (diff * mask_bg[None, :, None]).sum()
+    h, _, d = replace_out.shape
+    return num / (mask_bg.sum() * h * d + eps)
+
+
+def object_placement_loss(
+    edit_out: jnp.ndarray, replace_out: jnp.ndarray, mask_edit: jnp.ndarray, eps: float = 1e-8
+) -> jnp.ndarray:
+    """Masked L1 inside the warped object mask (attention_processors.py:283-287)."""
+    return background_preservation_loss(edit_out, replace_out, mask_edit, eps)
+
+
+def removal_loss(
+    replace_probs: jnp.ndarray,
+    base_probs: jnp.ndarray,
+    mask_inpaint: jnp.ndarray,
+    mask_bg: jnp.ndarray,
+    distance: jnp.ndarray,
+    eps: float = 1e-4,
+) -> jnp.ndarray:
+    """Correlation loss steering inpaint-region attention toward background.
+
+    For each inpaint query row, correlate its attention distribution with
+    every *base* query's distribution; maximize the best background match
+    (distance-weighted) and minimize the best inpaint match
+    (attention_processors.py:248-280).
+
+    Static-shape reformulation: the reference gathers only inpaint rows
+    (data-dependent shape); we compute all rows and weight by the row mask —
+    identical value.  TODO(perf): padded static gather of inpaint rows, or a
+    fused Pallas row-max kernel, to skip the ~(1-frac) wasted rows.
+    """
+    h = replace_probs.shape[0]
+    corr = jnp.einsum(
+        "hik,hjk->hij", replace_probs, sg(base_probs), preferred_element_type=jnp.float32
+    )
+    neg = -1e9
+    corr_in = jnp.where(mask_inpaint[None, None, :] > 0.5, corr, neg)
+    corr_bg = jnp.where(mask_bg[None, None, :] > 0.5, corr, neg)
+    # reference multiplies by the mask instead of masking out; for max() the
+    # two agree whenever any masked correlation is positive (softmax rows are
+    # non-negative, so best matches are > 0); where() is safe against all-zero
+    # rows which would otherwise pick an arbitrary unmasked column.
+    p_in = jnp.max(corr_in, axis=-1)
+    p_bg = jnp.max(corr_bg, axis=-1)
+    j_bg = jnp.argmax(corr_bg, axis=-1)  # (h, L)
+    l = replace_probs.shape[1]
+    d_bg = distance[jnp.arange(l)[None, :], j_bg]  # (h, L)
+    w = sg(jnp.exp(-d_bg))
+    per_row = w * (-jnp.log(jnp.maximum(p_bg, 0.0) + eps) + jnp.log(jnp.maximum(p_in, 0.0) + eps))
+    return (per_row * mask_inpaint[None, :]).sum() / (mask_inpaint.sum() * h + 1e-8)
+
+
+def interpolate_from_mask(
+    features: jnp.ndarray, fg_mask: jnp.ndarray, distance: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse-distance top-4 interpolation of foreground features
+    (attention_sharing.py:67-105).
+
+    Args:
+        features: (H, L, D); fg_mask: (L,); distance: (L, L).
+    Returns:
+        interpolated (H, L, D), per-row confidence weights (L,).
+    """
+    d_new = distance * (512.0 / 2.0) + 1e5 * (1.0 - (fg_mask > 0.5).astype(jnp.float32))[None, :]
+    inv = 1.0 / (d_new + 1e-4)  # (L, L)
+    vals, idx = jax.lax.top_k(inv, 4)  # (L, 4)
+    feats = features[:, idx, :]  # (H, L, 4, D)
+    interp = (feats * vals[None, :, :, None]).sum(-2) / (vals.sum(-1)[None, :, None] + 1e-12)
+    weights = jnp.exp(-(1.0 / jnp.max(vals, axis=-1)) / 5.0)  # (L,)
+    return interp, weights
+
+
+def smooth_attention_features(features: jnp.ndarray) -> jnp.ndarray:
+    """5x5 Gaussian blur of per-head feature maps (generic_torch.py:145-154)."""
+    h, l, d = features.shape
+    res = int(math.isqrt(l))
+    maps = features.transpose(0, 2, 1).reshape(h * d, res, res)
+    maps = image_ops.gaussian_smooth_2d(maps, size=5)
+    return maps.reshape(h, d, l).transpose(0, 2, 1)
+
+
+def amodal_loss(
+    edit_out: jnp.ndarray,
+    replace_out: jnp.ndarray,
+    mask_edit: jnp.ndarray,
+    distance: jnp.ndarray,
+    mask_amodal: jnp.ndarray,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Fill the amodal ring by nearest-foreground interpolation and pull the
+    edit output toward it (attention_processors.py:289-305)."""
+    e = sg(edit_out).astype(jnp.float32)
+    interp, w = interpolate_from_mask(e, mask_edit, distance)
+    interp = jnp.where((mask_edit > 0.5)[None, :, None], e, interp)
+    interp = smooth_attention_features(interp)
+    diff = jnp.abs(sg(interp) - replace_out.astype(jnp.float32))
+    wm = (w * mask_amodal)[None, :, None]
+    h, _, d = replace_out.shape
+    return (diff * wm).sum() / ((w * mask_amodal).sum() * h * d + eps)
+
+
+def smoothness_loss(replace_out: jnp.ndarray) -> jnp.ndarray:
+    """Total variation of the edit output over the spatial grid (loss.py:29-40)."""
+    h, l, d = replace_out.shape
+    res = int(math.isqrt(l))
+    r = replace_out.astype(jnp.float32).reshape(h, res, res, d)
+    dh = jnp.abs(r[:, 1:, :, :] - r[:, :-1, :, :]).mean()
+    dw = jnp.abs(r[:, :, 1:, :] - r[:, :, :-1, :]).mean()
+    return dh + dw
+
+
+# ---------------------------------------------------------------------------
+# Edit-stream attention
+# ---------------------------------------------------------------------------
+
+def _warp_queries(q_base: jnp.ndarray, ms: MaskSet, state: EditState) -> jnp.ndarray:
+    """Warp the base query field by the transform coordinates inside the
+    warped mask: q <- q*(1-m) + m*splat(q) (attention_processors.py:423-424,
+    543-545).  Fully detached, as in the reference."""
+    h, l, d = q_base.shape
+    res = int(math.isqrt(l))
+    q_img = q_base.transpose(1, 0, 2).reshape(res, res, h * d).astype(jnp.float32)
+    q_warp = splat_ops.splat_image(
+        q_img, ms.t_coords, radius=state.splat_radius, tau=state.splat_tau, z_beta=state.z_beta
+    )
+    m = ms.mask_new_warped_2d[..., None]
+    out = q_img * (1.0 - m) + m * q_warp
+    return sg(out.reshape(l, h, d).transpose(1, 0, 2).astype(q_base.dtype))
+
+
+def _constraint_bias(ms: MaskSet, lk: int) -> jnp.ndarray:
+    """Additive -1000 bias implementing the *intended* self-attention
+    constraints of compute_attention (attention_sharing.py:37-42)."""
+    rows_fgw = ms.mask_new_warped >= 0.5
+    cols_not_fg = ms.mask_warp < 0.5
+    rows_bg = ms.background >= 0.5
+    cols_fg = ms.mask_warp >= 0.5
+    bias = jnp.where(rows_fgw[:, None] & cols_not_fg[None, :lk], -1000.0, 0.0)
+    bias = bias + jnp.where(rows_bg[:, None] & cols_fg[None, :lk], -1000.0, 0.0)
+    return bias
+
+
+def _branch_logs(is_cross: bool, **vals) -> Dict[str, jnp.ndarray]:
+    logs = zero_logs()
+    prefix = "cross" if is_cross else "self"
+    for k, v in vals.items():
+        logs[f"{prefix}/{k}"] = jnp.asarray(v, jnp.float32)
+    logs["num_layers"] = jnp.float32(1.0)
+    return logs
+
+
+def _editor_stream(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    is_cross: bool,
+    state: EditState,
+    ms: MaskSet,
+    scale: float,
+    base_probs: Optional[jnp.ndarray],
+):
+    """AttentionGeometryEdit edit-stream output + losses
+    (attention_processors.py:384-624)."""
+    b_i, e_i = state.base_idx, state.edit_idx
+    q_b, k_b, v_b = sg(q[b_i]), sg(k[b_i]), sg(v[b_i])
+    q_e = q[e_i]
+
+    # Shared (reference-warped) attention output — fully detached.
+    if is_cross:
+        # Cross-attention: queries live on the spatial grid; keys are text
+        # tokens, so the query field is still warped spatially.
+        q_eb = _warp_queries(q_b, ms, state)
+    else:
+        q_eb = _warp_queries(q_b, ms, state)
+    edit_probs = attn_probs(q_eb, k_b, scale)
+    edit_out = sg(attn_out(edit_probs, v_b))
+
+    # Live edit-stream output: self uses base keys, cross uses edit keys
+    # (attention_processors.py:432,555); values always from the base stream.
+    k_r = k[e_i] if is_cross else k_b
+    if state.apply_constraints and not is_cross:
+        logits = jnp.einsum("hid,hjd->hij", q_e, k_r, preferred_element_type=jnp.float32) * scale
+        logits = logits + _constraint_bias(ms, logits.shape[-1])[None]
+        replace_probs = jax.nn.softmax(logits, axis=-1)
+    else:
+        replace_probs = attn_probs(q_e, k_r, scale)
+    replace_out = attn_out(replace_probs, v_b)
+
+    loss = jnp.float32(0.0)
+    logs = zero_logs()
+    l = q.shape[2]
+    if state.compute_losses and l >= LOSS_MIN_SEQ:
+        w = state.weights_cross if is_cross else state.weights_self
+        sim = background_preservation_loss(edit_out, replace_out, ms.background)
+        movement = object_placement_loss(edit_out, replace_out, ms.mask_new_warped)
+        removal = removal_loss(replace_probs, base_probs, ms.inpaint, ms.background, ms.distance)
+        smooth = smoothness_loss(replace_out)
+        if l >= AMODAL_MIN_SEQ:
+            amodal = amodal_loss(edit_out, replace_out, ms.mask_new_warped, ms.distance, ms.amodal)
+        else:
+            # amodal loss is zeroed at 32^2 (attention_processors.py:479-480)
+            amodal = jnp.float32(0.0)
+        loss = (
+            w["sim"] * sim
+            + w["movement"] * movement
+            + w["removal"] * removal
+            + w["smoothness"] * smooth
+            + w["amodal"] * amodal
+        )
+        logs = _branch_logs(
+            is_cross, sim=sim, movement=movement, removal=removal, smoothness=smooth, amodal=amodal
+        )
+
+    # Attention sharing vs diffusion correction (attention_processors.py:502-508)
+    m_e = ms.mask_new_warped[None, :, None].astype(replace_out.dtype)
+    shared = sg(edit_out) * m_e + replace_out * (1.0 - m_e)
+    out = jnp.where(state.cur_step < state.obj_edit_thresh, shared, replace_out)
+    return out, loss, logs
+
+
+def _remover_stream(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    is_cross: bool,
+    state: EditState,
+    ms: MaskSet,
+    scale: float,
+    base_probs: Optional[jnp.ndarray],
+    base_out: jnp.ndarray,
+):
+    """AttentionGeometryRemover edit-stream output + losses
+    (attention_processors.py:748-928)."""
+    b_i, e_i = state.base_idx, state.edit_idx
+    k_b, v_b = sg(k[b_i]), sg(v[b_i])
+    q_e = q[e_i]
+
+    edit_out = sg(base_out)  # the base stream's vanilla output
+
+    replace_probs = attn_probs(q_e, k_b, scale)
+    replace_out = attn_out(replace_probs, v_b)
+
+    loss = jnp.float32(0.0)
+    logs = zero_logs()
+    l = q.shape[2]
+    if state.compute_losses and l >= LOSS_MIN_SEQ:
+        w = state.weights_cross if is_cross else state.weights_self
+        sim = background_preservation_loss(edit_out, replace_out, ms.background)
+        removal = removal_loss(replace_probs, base_probs, ms.inpaint, ms.background, ms.distance)
+        smooth = smoothness_loss(replace_out)
+        loss = w["sim"] * sim + w["removal"] * removal + w["smoothness"] * smooth
+        logs = _branch_logs(is_cross, sim=sim, removal=removal, smoothness=smooth)
+
+    # After obj_edit_step, blend identity attention inside the inpaint mask
+    # (attention_processors.py:831-834, 922-925).
+    def with_identity(_):
+        id_out = vanilla_attention(q_e, k[e_i], v[e_i], scale)
+        m_in = ms.inpaint[None, :, None].astype(replace_out.dtype)
+        m_bg = ms.background[None, :, None].astype(replace_out.dtype)
+        return id_out * m_in + replace_out * m_bg
+
+    def without_identity(_):
+        m_in = ms.inpaint[None, :, None].astype(replace_out.dtype)
+        m_bg = ms.background[None, :, None].astype(replace_out.dtype)
+        return replace_out * m_in + replace_out * m_bg
+
+    out = jax.lax.cond(
+        state.cur_step < state.obj_edit_thresh, without_identity, with_identity, None
+    )
+    return out, loss, logs
+
+
+# ---------------------------------------------------------------------------
+# Top-level routing
+# ---------------------------------------------------------------------------
+
+def edited_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    is_cross: bool,
+    state: EditState,
+    scale: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Full edited multi-stream attention.
+
+    Routing (AttentionGeometryEdit.forward, attention_processors.py:633-664):
+    cross-attention layers are always edited; self-attention layers only
+    while self_replace_lo <= cur_step < self_replace_hi, otherwise all
+    streams get vanilla attention.  Under CFG the uncond streams and the
+    cond base stream are always vanilla; only the cond edit stream is
+    replaced.
+
+    Returns (out (S,H,L,D), total_loss scalar, logs dict).
+    """
+    s, h, l, d = q.shape
+    res = int(math.isqrt(l))
+    out_v = vanilla_attention(q, k, v, scale)
+
+    if res * res != l or res not in state.masks:
+        return out_v, jnp.float32(0.0), zero_logs()
+    ms = state.masks[res]
+
+    need_probs = state.compute_losses and l >= LOSS_MIN_SEQ
+    base_probs = attn_probs(sg(q[state.base_idx]), sg(k[state.base_idx]), scale) if need_probs else None
+
+    def do_edit(_):
+        if state.mode == "remover":
+            return _remover_stream(
+                q, k, v, is_cross, state, ms, scale, base_probs, out_v[state.base_idx]
+            )
+        return _editor_stream(q, k, v, is_cross, state, ms, scale, base_probs)
+
+    def no_edit(_):
+        return out_v[state.edit_idx], jnp.float32(0.0), zero_logs()
+
+    if is_cross:
+        out_e, loss, logs = do_edit(None)
+    else:
+        in_window = (state.self_replace_lo <= state.cur_step) & (
+            state.cur_step < state.self_replace_hi
+        )
+        out_e, loss, logs = jax.lax.cond(in_window, do_edit, no_edit, None)
+
+    out = out_v.at[state.edit_idx].set(out_e)
+    return out, loss, logs

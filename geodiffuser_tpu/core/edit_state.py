@@ -1,0 +1,210 @@
+"""Functional edit state: everything the attention edit needs, as a pytree.
+
+The reference threads a *stateful controller* object through every attention
+layer (AttentionControl, attention_sharing.py:110-153) with lazily-built
+per-resolution mask caches (process_and_cache_masks,
+attention_processors.py:319-373).  On TPU all of that becomes explicit,
+precomputed, traced state:
+
+ * masks for every attention resolution are built once per edit, before the
+   denoising loop (they are constant across steps — the reference's lazy
+   cache fills on the first step and is reused);
+ * the step counter, loss weights and annealed splat parameters are traced
+   scalars, so one compiled step function serves all 50 steps;
+ * mode / CFG-ness are static pytree fields, giving exactly the two compile
+   variants (optimize pass, CFG pass) the loop needs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional
+
+import flax.struct
+import jax.numpy as jnp
+
+from geodiffuser_tpu.config import EditConfig
+from geodiffuser_tpu.ops import image as image_ops
+from geodiffuser_tpu.ops import splat as splat_ops
+
+# Attention-map resolutions of a 512^2 SD-1.x UNet (64, 32, 16, 8) scale with
+# image size; loss layers are those with seq >= 32^2 (attention_processors.py:460,580).
+LOSS_MIN_SEQ = 32 * 32
+AMODAL_MIN_SEQ = 64 * 64  # amodal loss zeroed at seq <= 32^2 (attention_processors.py:479-480)
+
+
+class MaskSet(flax.struct.PyTreeNode):
+    """Per-resolution masks, flattened to (seq,) where noted.
+
+    Semantics (reference process_and_cache_masks, attention_processors.py:334-373):
+      mask_warp        original object mask (fractional after bilinear resize)
+      mask_new_warped  warped object mask (fractional after resize)
+      amodal           binarize(amodal_projected - mask_new_warped): the ring
+                       the object vacates under the surface projection
+      inpaint          binarize(mask_warp - intersection): region to fill
+      background       binarize(1 - (inpaint + mask_new_warped))
+    """
+
+    mask_warp: jnp.ndarray
+    mask_new_warped: jnp.ndarray
+    amodal: jnp.ndarray
+    inpaint: jnp.ndarray
+    background: jnp.ndarray
+    mask_new_warped_2d: jnp.ndarray          # (res, res) for query warping
+    t_coords: jnp.ndarray                    # (res, res, 3)
+    distance: Optional[jnp.ndarray] = None   # (seq, seq), loss resolutions only
+
+
+class EditState(flax.struct.PyTreeNode):
+    """Traced + static state threaded through the UNet attention layers."""
+
+    # traced scalars
+    cur_step: jnp.ndarray
+    obj_edit_thresh: jnp.ndarray      # int(num_steps * obj_edit_step)
+    self_replace_lo: jnp.ndarray
+    self_replace_hi: jnp.ndarray
+    splat_radius: jnp.ndarray
+    splat_tau: jnp.ndarray
+    weights_self: Dict[str, jnp.ndarray]
+    weights_cross: Dict[str, jnp.ndarray]
+    masks: Dict[int, MaskSet]         # keyed by resolution (static keys)
+
+    # static fields (part of the treedef -> separate jit specializations)
+    mode: str = flax.struct.field(pytree_node=False, default="editor")
+    use_cfg: bool = flax.struct.field(pytree_node=False, default=True)
+    compute_losses: bool = flax.struct.field(pytree_node=False, default=False)
+    apply_constraints: bool = flax.struct.field(pytree_node=False, default=False)
+    z_beta: float = flax.struct.field(pytree_node=False, default=20.0)
+
+    @property
+    def n_vanilla_streams(self) -> int:
+        """Streams that keep vanilla attention (reference coords_base[1]:
+        3 under CFG — uncond_base, uncond_edit, cond_base — else 1)."""
+        return 3 if self.use_cfg else 1
+
+    @property
+    def base_idx(self) -> int:
+        """The conditional base stream (reference coords_base: (2,3) CFG / (0,1))."""
+        return 2 if self.use_cfg else 0
+
+    @property
+    def edit_idx(self) -> int:
+        return 3 if self.use_cfg else 1
+
+
+def coordinate_distance_grid(res: int) -> jnp.ndarray:
+    """Pairwise NDC distances between pixel centers, shape (res^2, res^2).
+
+    Matches torch affine_grid(align_corners=False) coordinates used by
+    CoordinateDistances (generic_torch.py:126-140): x_i = (2i+1)/res - 1.
+    """
+    x = (2.0 * jnp.arange(res, dtype=jnp.float32) + 1.0) / res - 1.0
+    yy, xx = jnp.meshgrid(x, x, indexing="ij")
+    pts = jnp.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1)  # (seq, 2)
+    d2 = jnp.sum((pts[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
+    return jnp.sqrt(d2 + 1e-12)
+
+
+def build_mask_sets(
+    image_mask: jnp.ndarray,
+    t_coords: jnp.ndarray,
+    amodal_mask: Optional[jnp.ndarray],
+    resolutions: tuple[int, ...],
+    mode: str = "editor",
+    splat_radius: float = 1.3,
+    splat_tau: float = 1.0,
+    z_beta: float = 20.0,
+    dilate_remover: int = 5,
+) -> Dict[int, MaskSet]:
+    """Precompute every per-resolution mask set (reference
+    process_and_cache_masks, attention_processors.py:319-373, plus the
+    remover's simplified variant at :748-780 with the x5 dilation at :986).
+
+    Args:
+        image_mask: (H, W) binary object mask at image resolution.
+        t_coords: (H, W, 3) transform field at image resolution.
+        amodal_mask: (H, W) projected hole-free object mask (editor mode).
+        resolutions: latent attention resolutions, e.g. (64, 32, 16, 8).
+    """
+    image_mask = image_ops.binarize(jnp.asarray(image_mask, jnp.float32))
+    if mode == "remover":
+        image_mask = image_ops.dilate(image_mask, dilate_remover)
+
+    # Warped mask at image resolution (editor.py:147-149): splat the mask
+    # through the full-res transform field, then binarize.
+    if mode == "editor":
+        warped_full = splat_ops.splat_image(
+            image_mask[..., None], t_coords, radius=splat_radius, tau=splat_tau, z_beta=z_beta
+        )[..., 0]
+        warped_full = image_ops.binarize(warped_full)
+        amodal_full = image_ops.binarize(jnp.asarray(amodal_mask, jnp.float32))
+    else:
+        warped_full = image_mask
+        amodal_full = jnp.zeros_like(image_mask)
+
+    out: Dict[int, MaskSet] = {}
+    for res in resolutions:
+        seq = res * res
+        m_warp = image_ops.resize_bilinear(image_mask, res, res)          # fractional
+        m_new = image_ops.resize_bilinear(warped_full, res, res)          # fractional
+        tc = image_ops.resize_bilinear_hwc(t_coords, res, res)
+
+        if mode == "editor":
+            am = image_ops.resize_bilinear(amodal_full, res, res)
+            am = image_ops.binarize(am - m_new)                            # ring only
+            intersection = image_ops.binarize((m_new + am) * m_warp, 0.5)
+            inpaint = image_ops.binarize(m_warp - intersection, 0.5)
+            background = image_ops.binarize(1.0 - (inpaint + m_new))
+        else:
+            # Remover (attention_processors.py:758-780): inpaint = the
+            # (dilated) mask itself; background its complement; no amodal.
+            am = jnp.zeros((res, res), jnp.float32)
+            inpaint = image_ops.binarize(m_warp, 0.5)
+            background = image_ops.binarize(1.0 - inpaint)
+            m_new = inpaint
+
+        dist = coordinate_distance_grid(res) if seq >= LOSS_MIN_SEQ else None
+        out[res] = MaskSet(
+            mask_warp=m_warp.reshape(-1),
+            mask_new_warped=m_new.reshape(-1),
+            amodal=am.reshape(-1),
+            inpaint=inpaint.reshape(-1),
+            background=background.reshape(-1),
+            mask_new_warped_2d=m_new.reshape(res, res),
+            t_coords=tc,
+            distance=dist,
+        )
+    return out
+
+
+def make_edit_state(
+    cfg: EditConfig,
+    masks: Dict[int, MaskSet],
+    cur_step: int | jnp.ndarray = 0,
+    use_cfg: bool = True,
+    compute_losses: bool = False,
+    weights: Optional[Mapping[str, Mapping[str, float]]] = None,
+    splat_radius: float | jnp.ndarray | None = None,
+    splat_tau: float | jnp.ndarray | None = None,
+) -> EditState:
+    w = weights if weights is not None else cfg.resolved_loss_weights()
+    mode = "remover" if cfg.edit_type == "geometry_remover" else "editor"
+    as_f32 = lambda d: {k: jnp.asarray(v, jnp.float32) for k, v in d.items()}
+    n = cfg.num_ddim_steps
+    return EditState(
+        cur_step=jnp.asarray(cur_step, jnp.int32),
+        obj_edit_thresh=jnp.asarray(int(n * cfg.obj_edit_step), jnp.int32),
+        self_replace_lo=jnp.asarray(0, jnp.int32),
+        self_replace_hi=jnp.asarray(int(n * cfg.self_replace_steps), jnp.int32),
+        splat_radius=jnp.asarray(
+            cfg.splat.radius if splat_radius is None else splat_radius, jnp.float32
+        ),
+        splat_tau=jnp.asarray(cfg.splat.tau if splat_tau is None else splat_tau, jnp.float32),
+        weights_self=as_f32(w["self"]),
+        weights_cross=as_f32(w["cross"]),
+        masks=masks,
+        mode=mode,
+        use_cfg=use_cfg,
+        compute_losses=compute_losses,
+        apply_constraints=cfg.apply_attention_constraints,
+        z_beta=cfg.splat.z_beta,
+    )

@@ -1,0 +1,144 @@
+"""UNet attention modules with the GeoDiffuser edit hook.
+
+Replaces the reference's processor-swap machinery
+(register_attention_control_diffusers / EditProcessor / VanillaAttentionProcessor,
+attention_processors.py:26-228): instead of monkey-patching 32 processor
+objects and mutating controller flags per phase, the edit behavior is a pure
+function of the `EditState` pytree passed through `__call__`; `edit=None`
+gives vanilla attention.
+
+Edit losses are collected via linen `sow` into the 'edit' collection:
+   apply(..., mutable=['edit']) -> state['edit']['...']['loss'] summed over
+   the 32 attention layers — the functional replacement for
+   `controller.loss +=` (attention_processors.py:494, 604).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from geodiffuser_tpu.core import edit_attention
+from geodiffuser_tpu.core.edit_state import EditState
+
+
+def _sum_reduce(a, b):
+    return jax.tree.map(jnp.add, a, b)
+
+
+class Attention(nn.Module):
+    """Multi-head attention, diffusers parameter layout (to_q/to_k/to_v/to_out.0).
+
+    Inputs are (S, L, C) where S is the CFG-stream axis (the reference's
+    batch); heads stay an explicit axis internally.
+    """
+
+    query_dim: int
+    heads: int
+    cross_attention_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,
+        encoder_hidden_states: Optional[jnp.ndarray] = None,
+        edit: Optional[EditState] = None,
+    ) -> jnp.ndarray:
+        is_cross = encoder_hidden_states is not None
+        context = encoder_hidden_states if is_cross else hidden_states
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype, use_bias=False)
+        inner = self.query_dim
+        head_dim = inner // self.heads
+        scale = head_dim ** -0.5
+
+        q = nn.Dense(inner, name="to_q", **kw)(hidden_states)
+        k = nn.Dense(inner, name="to_k", **kw)(context)
+        v = nn.Dense(inner, name="to_v", **kw)(context)
+
+        s, lq, _ = q.shape
+        lk = k.shape[1]
+        # (S, H, L, D)
+        q = q.reshape(s, lq, self.heads, head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(s, lk, self.heads, head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(s, lk, self.heads, head_dim).transpose(0, 2, 1, 3)
+
+        if edit is None:
+            out = edit_attention.vanilla_attention(q, k, v, scale)
+        else:
+            out, loss, logs = edit_attention.edited_attention(
+                q, k, v, is_cross=is_cross, state=edit, scale=scale
+            )
+            self.sow(
+                "edit", "loss", loss,
+                reduce_fn=_sum_reduce, init_fn=lambda: jnp.float32(0.0),
+            )
+            self.sow(
+                "edit", "logs", logs,
+                reduce_fn=_sum_reduce, init_fn=edit_attention.zero_logs,
+            )
+
+        out = out.transpose(0, 2, 1, 3).reshape(s, lq, inner)
+        return nn.Dense(
+            inner, name="to_out_0", dtype=self.dtype, param_dtype=self.param_dtype
+        )(out)
+
+
+class BasicTransformerBlock(nn.Module):
+    """LN->self-attn->LN->cross-attn->LN->GEGLU-FF with residuals
+    (diffusers BasicTransformerBlock, the SD-1.x UNet variant)."""
+
+    dim: int
+    heads: int
+    cross_attention_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, edit: Optional[EditState] = None):
+        from geodiffuser_tpu.models.layers import FeedForward
+
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1", **kw)(x)
+        x = x + Attention(self.dim, self.heads, name="attn1", **kw)(h, None, edit)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2", **kw)(x)
+        x = x + Attention(
+            self.dim, self.heads, cross_attention_dim=self.cross_attention_dim,
+            name="attn2", **kw,
+        )(h, context, edit)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm3", **kw)(x)
+        return x + FeedForward(self.dim, name="ff", **kw)(h)
+
+
+class Transformer2DModel(nn.Module):
+    """GN -> 1x1 conv in -> transformer blocks -> 1x1 conv out + residual
+    (diffusers Transformer2DModel, SD-1.x conv projections)."""
+
+    in_channels: int
+    heads: int
+    cross_attention_dim: int
+    num_layers: int = 1
+    groups: int = 32
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, edit: Optional[EditState] = None):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        b, h, w, c = x.shape
+        residual = x
+        y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, name="norm", **kw)(x)
+        y = nn.Conv(self.in_channels, (1, 1), name="proj_in", **kw)(y)
+        y = y.reshape(b, h * w, self.in_channels)
+        for i in range(self.num_layers):
+            y = BasicTransformerBlock(
+                self.in_channels, self.heads, self.cross_attention_dim,
+                name=f"transformer_blocks_{i}", **kw,
+            )(y, context, edit)
+        y = y.reshape(b, h, w, self.in_channels)
+        y = nn.Conv(self.in_channels, (1, 1), name="proj_out", **kw)(y)
+        return y + residual
