@@ -36,7 +36,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from geodiffuser_tpu.core.edit_state import AMODAL_MIN_SEQ, LOSS_MIN_SEQ, EditState, MaskSet
+from geodiffuser_tpu.core.edit_state import EditState, MaskSet
 from geodiffuser_tpu.ops import image as image_ops
 from geodiffuser_tpu.ops import splat as splat_ops
 
@@ -295,13 +295,13 @@ def _editor_stream(
     loss = jnp.float32(0.0)
     logs = zero_logs()
     l = q.shape[2]
-    if state.compute_losses and l >= LOSS_MIN_SEQ:
+    if state.compute_losses and l >= state.loss_min_seq:
         w = state.weights_cross if is_cross else state.weights_self
         sim = background_preservation_loss(edit_out, replace_out, ms.background)
         movement = object_placement_loss(edit_out, replace_out, ms.mask_new_warped)
         removal = removal_loss(replace_probs, base_probs, ms.inpaint, ms.background, ms.distance)
         smooth = smoothness_loss(replace_out)
-        if l >= AMODAL_MIN_SEQ:
+        if l >= state.amodal_min_seq:
             amodal = amodal_loss(edit_out, replace_out, ms.mask_new_warped, ms.distance, ms.amodal)
         else:
             # amodal loss is zeroed at 32^2 (attention_processors.py:479-480)
@@ -349,7 +349,7 @@ def _remover_stream(
     loss = jnp.float32(0.0)
     logs = zero_logs()
     l = q.shape[2]
-    if state.compute_losses and l >= LOSS_MIN_SEQ:
+    if state.compute_losses and l >= state.loss_min_seq:
         w = state.weights_cross if is_cross else state.weights_self
         sim = background_preservation_loss(edit_out, replace_out, ms.background)
         removal = removal_loss(replace_probs, base_probs, ms.inpaint, ms.background, ms.distance)
@@ -408,7 +408,7 @@ def edited_attention(
         return out_v, jnp.float32(0.0), zero_logs()
     ms = state.masks[res]
 
-    need_probs = state.compute_losses and l >= LOSS_MIN_SEQ
+    need_probs = state.compute_losses and l >= state.loss_min_seq
     base_probs = attn_probs(sg(q[state.base_idx]), sg(k[state.base_idx]), scale) if need_probs else None
 
     def do_edit(_):

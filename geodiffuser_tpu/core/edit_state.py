@@ -26,10 +26,20 @@ from geodiffuser_tpu.config import EditConfig
 from geodiffuser_tpu.ops import image as image_ops
 from geodiffuser_tpu.ops import splat as splat_ops
 
-# Attention-map resolutions of a 512^2 SD-1.x UNet (64, 32, 16, 8) scale with
-# image size; loss layers are those with seq >= 32^2 (attention_processors.py:460,580).
-LOSS_MIN_SEQ = 32 * 32
-AMODAL_MIN_SEQ = 64 * 64  # amodal loss zeroed at seq <= 32^2 (attention_processors.py:479-480)
+# Attention-map resolutions of a 512^2 SD-1.x UNet are (64, 32, 16, 8); the
+# reference hardcodes its loss-layer thresholds to that geometry: losses at
+# seq >= 32^2 (attention_processors.py:460,580), amodal only at 64^2
+# (zeroed at seq <= 32^2, attention_processors.py:479-480).  We generalize:
+# losses at the two highest attention resolutions, amodal at the highest —
+# identical to the reference at 512^2, and meaningful at other image sizes.
+
+
+def loss_min_seq(max_res: int) -> int:
+    return (max_res // 2) ** 2
+
+
+def amodal_min_seq(max_res: int) -> int:
+    return max_res ** 2
 
 
 class MaskSet(flax.struct.PyTreeNode):
@@ -69,6 +79,8 @@ class EditState(flax.struct.PyTreeNode):
     masks: Dict[int, MaskSet]         # keyed by resolution (static keys)
 
     # static fields (part of the treedef -> separate jit specializations)
+    loss_min_seq: int = flax.struct.field(pytree_node=False, default=32 * 32)
+    amodal_min_seq: int = flax.struct.field(pytree_node=False, default=64 * 64)
     mode: str = flax.struct.field(pytree_node=False, default="editor")
     use_cfg: bool = flax.struct.field(pytree_node=False, default=True)
     compute_losses: bool = flax.struct.field(pytree_node=False, default=False)
@@ -162,7 +174,7 @@ def build_mask_sets(
             background = image_ops.binarize(1.0 - inpaint)
             m_new = inpaint
 
-        dist = coordinate_distance_grid(res) if seq >= LOSS_MIN_SEQ else None
+        dist = coordinate_distance_grid(res) if seq >= loss_min_seq(max(resolutions)) else None
         out[res] = MaskSet(
             mask_warp=m_warp.reshape(-1),
             mask_new_warped=m_new.reshape(-1),
@@ -190,6 +202,7 @@ def make_edit_state(
     mode = "remover" if cfg.edit_type == "geometry_remover" else "editor"
     as_f32 = lambda d: {k: jnp.asarray(v, jnp.float32) for k, v in d.items()}
     n = cfg.num_ddim_steps
+    max_res = max(masks.keys())
     return EditState(
         cur_step=jnp.asarray(cur_step, jnp.int32),
         obj_edit_thresh=jnp.asarray(int(n * cfg.obj_edit_step), jnp.int32),
@@ -202,6 +215,8 @@ def make_edit_state(
         weights_self=as_f32(w["self"]),
         weights_cross=as_f32(w["cross"]),
         masks=masks,
+        loss_min_seq=loss_min_seq(max_res),
+        amodal_min_seq=amodal_min_seq(max_res),
         mode=mode,
         use_cfg=use_cfg,
         compute_losses=compute_losses,

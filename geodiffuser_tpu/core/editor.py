@@ -1,0 +1,354 @@
+"""The GeoDiffuser edit loop and top-level API.
+
+Rebuilds `text2image_ldm_stable` (editor.py:65-423) and
+`perform_geometric_edit` (editor.py:428-710) TPU-first:
+
+ * the 50-step loop is a host loop over exactly TWO jitted device programs —
+   `_optimize_step` (grad of the shared-attention loss through the UNet +
+   masked SGD update) and `_cfg_step` (4-stream CFG denoise + DDIM step +
+   trajectory pinning + masked latent warp-replace).  The step index, splat
+   annealing, loss weights and window flags are all traced scalars, so there
+   is no per-step recompilation;
+ * DDIM inversion is one compiled lax.scan (core/inversion.py);
+ * per-resolution masks are prebuilt (core/edit_state.py) instead of the
+   reference's lazy caches;
+ * host<->device traffic per step: one scalar loss (for logging/adaptive
+   weights) on optimize steps, nothing otherwise.
+
+The compiled-step design replaces the reference's inert
+`torch.compile(model.unet)` (typo'd `model.uet =`, editor.py:102) — the
+actual speed thesis of the TPU rebuild.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geodiffuser_tpu.config import EditConfig
+from geodiffuser_tpu.core import edit_attention, edit_state, inversion, optimization
+from geodiffuser_tpu.core import scheduler as sched
+from geodiffuser_tpu.core.pipeline import Pipeline
+from geodiffuser_tpu.ops import image as image_ops
+from geodiffuser_tpu.ops import splat as splat_ops
+from geodiffuser_tpu.ops import transform_field as tf_ops
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class EditResult:
+    images: np.ndarray                 # (2, H, W, 3) uint8: [reconstruction, edit]
+    edited_image: np.ndarray           # (H, W, 3) uint8, histogram-matched
+    loss_log: Dict[int, Dict[str, float]]
+    warped_preview: Optional[np.ndarray] = None
+    timings: Optional[Dict[str, float]] = None
+
+
+def _attention_resolutions(latent_size: int) -> tuple:
+    return tuple(latent_size // (2 ** i) for i in range(4))
+
+
+class EditSession:
+    """Holds the jitted step functions for one (pipeline, static-config) pair.
+
+    Reuse a session across edits (the batch driver does) — recompilation
+    happens only when static config or shapes change.
+    """
+
+    def __init__(self, pipeline: Pipeline, cfg: EditConfig):
+        self.pipeline = pipeline
+        self.cfg = cfg
+        self.mode = "remover" if cfg.edit_type == "geometry_remover" else "editor"
+        self._invert = jax.jit(
+            lambda params, latent, cu, cc: inversion.ddim_invert(
+                pipeline, params, latent, cu, cc,
+                guidance_scale=cfg.guidance_scale,
+                num_steps=cfg.num_ddim_steps,
+            )
+        )
+        self._optimize_step = jax.jit(self._optimize_step_impl)
+        self._cfg_step = jax.jit(self._cfg_step_impl)
+        self._preprocess = jax.jit(self._preprocess_impl)
+
+    # ------------------------------------------------------------------ setup
+    def _preprocess_impl(self, image, depth, image_mask, transform):
+        cfg = self.cfg
+        tf = tf_ops.build_transform_field(
+            image, depth, image_mask, transform,
+            focal_length=cfg.focal_length,
+            splat_radius=cfg.splat.radius, splat_tau=cfg.splat.tau,
+            z_beta=cfg.splat.z_beta,
+        )
+        amodal = image_ops.erode(tf.amodal_mask, cfg.amodal_erode)  # editor.py:633
+        masks = edit_state.build_mask_sets(
+            image_mask, tf.coords, amodal,
+            resolutions=_attention_resolutions(self.pipeline.latent_size),
+            mode=self.mode,
+            splat_radius=cfg.splat.radius, splat_tau=cfg.splat.tau,
+            z_beta=cfg.splat.z_beta,
+            dilate_remover=cfg.mask_dilate_remover,
+        )
+        return tf, masks
+
+    def _state(self, masks, i, weights, radius, tau, use_cfg, compute_losses):
+        return edit_state.make_edit_state(
+            self.cfg, masks, cur_step=i, use_cfg=use_cfg, compute_losses=compute_losses,
+            weights=weights, splat_radius=radius, splat_tau=tau,
+        )
+
+    # --------------------------------------------------------------- optimize
+    def _optimize_step_impl(
+        self, params_unet, latents2, context4, t, masks, i, weights, radius, tau,
+        lr_eff, sgd_state,
+    ):
+        """Grad-enabled cond-only pass + masked update (editor.py:181-336)."""
+        cfg = self.cfg
+        state = self._state(masks, i, weights, radius, tau, use_cfg=False, compute_losses=True)
+        latent_base = jax.lax.stop_gradient(latents2[0])
+        ctx_base = jax.lax.stop_gradient(context4[2])
+
+        def loss_fn(latent_edit, ctx_edit):
+            lat = jnp.stack([latent_base, latent_edit])
+            ctx = jnp.stack([ctx_base, ctx_edit])
+            _, aux = self.pipeline.unet.apply(
+                params_unet, lat, t, ctx, state, mutable=["edit"]
+            )
+            loss, logs = edit_attention.collect_edit_aux(aux)
+            return loss, logs
+
+        (loss, logs), (gl, gc) = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+            latents2[1].astype(jnp.float32), context4[3].astype(jnp.float32)
+        )
+
+        orig_norm = image_ops.norm_tensor(latents2[1])
+        res = self.pipeline.latent_size
+        mask_latent = image_ops.binarize(masks[res].mask_new_warped_2d)[..., None]
+        new_latent, new_ctx, sgd_state = optimization.apply_update(
+            latents2[1], context4[3], gl, gc, lr_eff,
+            mask_latent, sgd_state, momentum=cfg.sgd_momentum,
+        )
+        if cfg.optimize_latents:
+            new_latent = optimization.project_norm(new_latent, orig_norm)
+            latents2 = latents2.at[1].set(new_latent)
+        if cfg.optimize_embeddings:
+            context4 = context4.at[3].set(new_ctx)
+        return latents2, context4, sgd_state, loss, logs
+
+    # -------------------------------------------------------------------- cfg
+    def _cfg_step_impl(
+        self, params_unet, latents2, context4, t, masks, i, weights, radius, tau,
+        pinned_base, do_replace,
+    ):
+        """No-grad CFG denoise + pinning + latent warp-replace
+        (editor.py:339-403)."""
+        cfg = self.cfg
+        state = self._state(masks, i, weights, radius, tau, use_cfg=True, compute_losses=False)
+        latents_in = jnp.concatenate([latents2, latents2], axis=0)
+        eps = self.pipeline.unet.apply(params_unet, latents_in, t, context4, state)
+        eps_u, eps_c = eps[:2], eps[2:]
+        eps_g = eps_u + cfg.guidance_scale * (eps_c - eps_u)
+        new_latents = sched.ddim_step(self.pipeline.schedule, eps_g, t, latents2, cfg.num_ddim_steps)
+
+        # Pin the base stream to the stored inversion trajectory (editor.py:375-377)
+        new_latents = jnp.concatenate([pinned_base.reshape(new_latents[:1].shape), new_latents[1:]], axis=0)
+
+        if self.mode == "editor":
+            # Hard warp-replace of the edit latent inside the warped mask
+            # while i < latent_replace*T (editor.py:382-399)
+            res = self.pipeline.latent_size
+            ms = masks[res]
+            warped = splat_ops.splat_image(
+                new_latents[0], ms.t_coords, radius=radius, tau=tau, z_beta=cfg.splat.z_beta
+            )
+            i_mask = image_ops.binarize(ms.mask_new_warped_2d)[..., None]
+            replaced = new_latents[1] * (1.0 - i_mask) + i_mask * warped
+            edit_lat = jnp.where(do_replace, replaced, new_latents[1])
+            new_latents = jnp.concatenate([new_latents[:1], edit_lat[None]], axis=0)
+        return new_latents
+
+    # ------------------------------------------------------------------- run
+    def run(
+        self,
+        image: np.ndarray,        # (H, W, 3) uint8 or float [0,1]
+        depth: np.ndarray,        # (H, W)
+        image_mask: np.ndarray,   # (H, W) binary
+        transform: np.ndarray,    # (4, 4)
+        prompt: str = "",
+        progress=None,
+    ) -> EditResult:
+        cfg = self.cfg
+        timings: Dict[str, float] = {}
+        t_start = time.time()
+
+        image = np.asarray(image)
+        if image.dtype == np.uint8:
+            image = image.astype(np.float32) / 255.0
+        image_j = jnp.asarray(image, jnp.float32)
+        depth_j = jnp.asarray(depth, jnp.float32)
+        mask_j = image_ops.binarize(jnp.asarray(image_mask, jnp.float32))
+        transform_j = jnp.asarray(transform, jnp.float32)
+
+        # --- preprocessing: transform field + masks (one compiled program)
+        tf, masks = self._preprocess(image_j, depth_j, mask_j, transform_j)
+
+        # --- text + image encoders
+        ctx_cond = self.pipeline.encode_text([prompt])
+        ctx_uncond = self.pipeline.encode_text([cfg.uncond_text])
+        latent0 = self.pipeline.encode_image(image_j)
+        timings["preprocess"] = time.time() - t_start
+
+        # --- DDIM inversion (compiled scan; CFG with the edit guidance scale,
+        # inversion.py:174-187)
+        t_inv = time.time()
+        all_latents, _ = self._invert(
+            self.pipeline.params["unet"], latent0, ctx_uncond, ctx_cond
+        )
+        all_latents = jax.block_until_ready(all_latents)
+        timings["inversion"] = time.time() - t_inv
+
+        # --- loop state
+        t_loop = time.time()
+        n = cfg.num_ddim_steps
+        x_t = all_latents[-1]
+        latents2 = jnp.concatenate([x_t, x_t], axis=0)
+        context4 = jnp.concatenate(
+            [ctx_uncond, ctx_uncond, ctx_cond, ctx_cond], axis=0
+        ).astype(jnp.float32)
+
+        optimize_frac = min(cfg.optimize_steps, max(cfg.self_replace_steps, cfg.cross_replace_steps))
+        defaults = {b: dict(t_) for b, t_ in cfg.resolved_loss_weights().items()}
+        weights = {b: dict(t_) for b, t_ in defaults.items()}
+        sgd_state = (
+            optimization.init_sgd_state(latents2[1], context4[3]) if cfg.use_optimizer else None
+        )
+        lr_first = optimization.effective_lr(cfg.lr, 0, cfg.skip_optim_steps, n)
+        radius = float(cfg.splat.radius)
+        tau = float(cfg.splat.tau)
+        loss_log: Dict[int, Dict[str, float]] = {}
+        timesteps = sched.timesteps(n, self.pipeline.schedule.num_train_timesteps)
+
+        def weight_arrays(w):
+            return {b: {k_: jnp.float32(v_) for k_, v_ in t_.items()} for b, t_ in w.items()}
+
+        for i, t in enumerate(timesteps):
+            # splat annealing, reference semantics incl. the int() floor on
+            # radius (editor.py:154-156)
+            radius = max(1, int(radius * cfg.splat.radius_decay))
+            tau = max(tau * cfg.splat.tau_decay, cfg.splat.tau_floor)
+            wa = weight_arrays(weights)
+            r_j, tau_j = jnp.float32(radius), jnp.float32(tau)
+            t_j = jnp.int32(t)
+            i_j = jnp.int32(i)
+
+            do_optimize = (
+                i < optimize_frac * n
+                and i % cfg.skip_optim_steps == 0
+                and i >= cfg.fast_start_steps * n
+            )
+            if do_optimize:
+                lr_eff = (
+                    jnp.float32(lr_first)
+                    if cfg.use_optimizer
+                    else jnp.float32(optimization.effective_lr(cfg.lr, i, cfg.skip_optim_steps, n))
+                )
+                latents2, context4, sgd_state, loss, logs = self._optimize_step(
+                    self.pipeline.params["unet"], latents2, context4, t_j,
+                    masks, i_j, wa, r_j, tau_j, lr_eff, sgd_state,
+                )
+                logs_host = {k: float(v) for k, v in edit_attention.normalize_logs(logs).items()}
+                logs_host["total"] = float(loss)
+                loss_log[i] = logs_host
+                if cfg.use_adaptive_optimization:
+                    weights = optimization.adaptive_step(
+                        weights, defaults, i, cfg.skip_optim_steps, n,
+                        logs_host["self/removal"], cfg.edit_type, cfg.removal_loss_value,
+                    )
+                    wa = weight_arrays(weights)
+                if progress is not None:
+                    progress(i / n, desc=f"Editing loss: {logs_host['total']:.4f}")
+
+            pinned = all_latents[n - 1 - i]
+            do_replace = jnp.bool_(i < cfg.latent_replace * n)
+            latents2 = self._cfg_step(
+                self.pipeline.params["unet"], latents2, context4, t_j,
+                masks, i_j, wa, r_j, tau_j, pinned, do_replace,
+            )
+
+        latents2 = jax.block_until_ready(latents2)
+        timings["edit_loop"] = time.time() - t_loop
+
+        # --- decode + histogram-matching post-process (editor.py:660-694)
+        t_post = time.time()
+        images = self.pipeline.decode_latents(latents2)
+        edited = self._postprocess(images[-1], image, tf, np.asarray(mask_j), masks)
+        timings["decode_post"] = time.time() - t_post
+        timings["total"] = time.time() - t_start
+        return EditResult(
+            images=images,
+            edited_image=edited,
+            loss_log=loss_log,
+            warped_preview=np.asarray(tf.warped_preview),
+            timings=timings,
+        )
+
+    def _postprocess(self, edited_u8, image_f, tf, mask_np, masks) -> np.ndarray:
+        """Masked histogram matching of the edit against the warp-composited
+        input (editor.py:660-694)."""
+        cfg = self.cfg
+        image_u8 = np.asarray(np.clip(image_f * 255.0, 0, 255)).astype(np.uint8)
+        if cfg.edit_type == "geometry_remover":
+            return image_ops.masked_histogram_matching(
+                edited_u8, image_u8, 1.0 - mask_np
+            ).astype(np.uint8)
+
+        # editor: composite input with its warped self inside the warped mask
+        res_mask = np.asarray(
+            image_ops.binarize(
+                image_ops.resize_bilinear(
+                    masks[self.pipeline.latent_size].mask_new_warped_2d,
+                    image_u8.shape[0], image_u8.shape[1],
+                )
+            )
+        )
+        warped_input = np.asarray(
+            jnp.clip(tf.warped_preview, 0.0, 1.0) * 255.0
+        ).astype(np.uint8)
+        mask_changed = ((res_mask + mask_np) > 0.5) * 1.0
+        mask_bg = ((1.0 - mask_changed) > 0.5) * 1.0
+        composite = (
+            mask_bg[..., None] * image_u8 + res_mask[..., None] * warped_input
+        ).astype(np.uint8)
+        mask_source = ((res_mask + mask_bg) > 0.5) * 1.0
+        return image_ops.masked_histogram_matching(
+            edited_u8, composite, mask_source, mask_source
+        ).astype(np.uint8)
+
+
+def perform_geometric_edit(
+    pipeline: Pipeline,
+    image: np.ndarray,
+    depth: np.ndarray,
+    image_mask: np.ndarray,
+    transform: np.ndarray,
+    cfg: Optional[EditConfig] = None,
+    prompt: str = "",
+    session: Optional[EditSession] = None,
+    progress=None,
+) -> EditResult:
+    """Top-level programmatic API (reference: editor.py:428-710).
+
+    Stateless: pass an existing `EditSession` to reuse compiled programs
+    across edits (what the reference's module-global model cache tried to do).
+    """
+    cfg = cfg or EditConfig()
+    if session is None:
+        session = EditSession(pipeline, cfg)
+    return session.run(image, depth, image_mask, transform, prompt=prompt, progress=progress)

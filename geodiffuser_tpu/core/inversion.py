@@ -1,0 +1,82 @@
+"""Jitted DDIM inversion (lax.scan over the full trajectory).
+
+Rebuilds NullInversion.ddim_loop (inversion.py:131-196) — CFG-guided DDIM
+inversion collecting the full latent trajectory — as a single compiled scan.
+Null-text optimization (inversion.py:213-259) is intentionally a separate,
+optional routine: the reference disables it by default ("not required for
+GeoDiffuser", inversion.py:270-276) and GeoDiffuser passes
+perform_inversion=False from the batch driver (large_scale_editor.py:208).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from geodiffuser_tpu.core import scheduler as sched
+from geodiffuser_tpu.core.pipeline import Pipeline
+
+
+def ddim_invert(
+    pipeline: Pipeline,
+    params_unet,
+    latent: jnp.ndarray,          # (S0, h, w, 4) scaled latents at t=0
+    context_uncond: jnp.ndarray,  # (S0, 77, D)
+    context_cond: jnp.ndarray,    # (S0, 77, D)
+    guidance_scale: float,
+    num_steps: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (all_latents (num_steps+1, S0, h, w, 4), all_noise_cond
+    (num_steps, S0, h, w, 4)).
+
+    all_latents[k] is the latent at noise level (k-1)*ratio; index 0 is the
+    clean latent, index num_steps the fully inverted x_T — matching the
+    reference's `all_latent` list (inversion.py:138-193).
+
+    Guidance is applied *during inversion* (the reference's choice,
+    inversion.py:174-187) with the caller's guidance_scale.
+    """
+    timesteps = jnp.asarray(sched.inverse_timesteps(num_steps, pipeline.schedule.num_train_timesteps))
+    context = jnp.concatenate([context_uncond, context_cond], axis=0)  # (2*S0, 77, D)
+    s0 = latent.shape[0]
+
+    def step(x, t):
+        batched = jnp.concatenate([x, x], axis=0)
+        eps = pipeline.unet.apply(params_unet, batched, t, context)
+        eps_u, eps_c = eps[:s0], eps[s0:]
+        eps_g = eps_u + guidance_scale * (eps_c - eps_u)
+        x_next = sched.ddim_inverse_step(pipeline.schedule, eps_g, t, x, num_steps)
+        return x_next, (x_next, eps_c)
+
+    _, (lat_traj, noise_traj) = jax.lax.scan(step, latent.astype(jnp.float32), timesteps)
+    all_latents = jnp.concatenate([latent[None].astype(jnp.float32), lat_traj], axis=0)
+    return all_latents, noise_traj
+
+
+def reconstruct(
+    pipeline: Pipeline,
+    params_unet,
+    latent_T: jnp.ndarray,
+    context_uncond: jnp.ndarray,
+    context_cond: jnp.ndarray,
+    guidance_scale: float,
+    num_steps: int,
+) -> jnp.ndarray:
+    """CFG DDIM sampling from an inverted latent — the invert->reconstruct
+    round trip is BASELINE config 1 and the core scheduler-parity check."""
+    timesteps = jnp.asarray(sched.timesteps(num_steps, pipeline.schedule.num_train_timesteps))
+    context = jnp.concatenate([context_uncond, context_cond], axis=0)
+    s0 = latent_T.shape[0]
+
+    def step(x, t):
+        batched = jnp.concatenate([x, x], axis=0)
+        eps = pipeline.unet.apply(params_unet, batched, t, context)
+        eps_u, eps_c = eps[:s0], eps[s0:]
+        eps_g = eps_u + guidance_scale * (eps_c - eps_u)
+        return sched.ddim_step(pipeline.schedule, eps_g, t, x, num_steps), None
+
+    out, _ = jax.lax.scan(step, latent_T.astype(jnp.float32), timesteps)
+    return out
