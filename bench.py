@@ -1,0 +1,93 @@
+"""Benchmark: one full GeoDiffuser edit (50-step DDIM, 512x512) on TPU.
+
+Prints ONE JSON line:
+  {"metric": "sec/edit (50-step DDIM, 512^2)", "value": N, "unit": "s",
+   "vs_baseline": B}
+
+vs_baseline is measured against the driver target of 10 s/edit on v5e
+(BASELINE.md): vs_baseline = 10.0 / measured, so > 1.0 beats the target.
+The reference publishes no wall-clock numbers (README.md:55-56).
+
+Weights are random-init (no network egress in this environment); wall-clock
+is weight-independent.  The run includes the complete pipeline the reference
+executes per edit (editor.py:65-423): transform-field preprocessing, VAE
+encode, 50-step CFG DDIM inversion, the 50-step edit loop with 17 grad-
+through-UNet optimization steps, VAE decode and histogram matching.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_scene(size: int):
+    rng = np.random.RandomState(0)
+    image = (rng.rand(size, size, 3) * 255).astype(np.uint8)
+    yy, xx = np.mgrid[0:size, 0:size]
+    mask = (((xx - size * 0.4) ** 2 + (yy - size * 0.6) ** 2) < (size * 0.15) ** 2).astype(
+        np.float32
+    )
+    depth = (0.3 + 0.5 * (yy / size)).astype(np.float32)
+    return image, depth, mask
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument("--edit-type", default="geometry_editor")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from geodiffuser_tpu.config import EditConfig, ModelConfig
+    from geodiffuser_tpu.core.editor import EditSession
+    from geodiffuser_tpu.core.pipeline import Pipeline
+    from geodiffuser_tpu.ops import camera
+
+    # bf16 params for inference (the reference runs fp16 weights,
+    # diffusion.py:107); the UNet is frozen so no fp32 master copy is needed.
+    mcfg = ModelConfig(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    ecfg = EditConfig(num_ddim_steps=args.steps, edit_type=args.edit_type)
+
+    pipe = Pipeline.create(mcfg, image_size=args.size)
+    sess = EditSession(pipe, ecfg)
+    image, depth, mask = build_scene(args.size)
+    transform = camera.compose_transform(tx=0.08, ry=15.0)
+
+    # Warmup edit: compiles the 4 device programs.
+    t0 = time.time()
+    res = sess.run(image, depth, mask, transform, prompt="benchmark scene")
+    warmup = time.time() - t0
+    if args.verbose:
+        print(f"# warmup (incl. compile): {warmup:.1f}s  timings={res.timings}", file=sys.stderr)
+
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.time()
+        res = sess.run(image, depth, mask, transform, prompt="benchmark scene")
+        times.append(time.time() - t0)
+        if args.verbose:
+            print(f"# edit: {times[-1]:.2f}s  timings={res.timings}", file=sys.stderr)
+
+    sec_per_edit = float(np.median(times))
+    print(
+        json.dumps(
+            {
+                "metric": f"sec/edit ({args.steps}-step DDIM, {args.size}^2)",
+                "value": round(sec_per_edit, 3),
+                "unit": "s",
+                "vs_baseline": round(10.0 / sec_per_edit, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -153,6 +153,10 @@ class ModelConfig:
     # numerics
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
+    # rematerialize transformer blocks in the backward pass (the optimize
+    # step differentiates through the whole UNet; without remat the 64^2
+    # attention maps of every layer stay live in HBM)
+    remat: bool = True
 
     @staticmethod
     def tiny() -> "ModelConfig":

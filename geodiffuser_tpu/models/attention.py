@@ -123,6 +123,7 @@ class Transformer2DModel(nn.Module):
     cross_attention_dim: int
     num_layers: int = 1
     groups: int = 32
+    remat: bool = False
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -134,8 +135,12 @@ class Transformer2DModel(nn.Module):
         y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, name="norm", **kw)(x)
         y = nn.Conv(self.in_channels, (1, 1), name="proj_in", **kw)(y)
         y = y.reshape(b, h * w, self.in_channels)
+        # jax.checkpoint on the block: the optimize pass differentiates
+        # through the full UNet; recomputing attention in the backward pass
+        # trades FLOPs for the HBM that 64^2 attention maps would pin.
+        block_cls = nn.remat(BasicTransformerBlock) if self.remat else BasicTransformerBlock
         for i in range(self.num_layers):
-            y = BasicTransformerBlock(
+            y = block_cls(
                 self.in_channels, self.heads, self.cross_attention_dim,
                 name=f"transformer_blocks_{i}", **kw,
             )(y, context, edit)

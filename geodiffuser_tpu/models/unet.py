@@ -68,6 +68,7 @@ class UNet2DCondition(nn.Module):
                 cross_attention_dim=cfg.cross_attention_dim,
                 num_layers=cfg.transformer_layers_per_block,
                 groups=groups,
+                remat=cfg.remat,
                 name=name,
                 **kw,
             )

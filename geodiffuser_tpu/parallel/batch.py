@@ -1,0 +1,220 @@
+"""Sharded multi-edit execution: E independent edits in lockstep over a mesh.
+
+The reference's batch driver runs edits strictly sequentially on one GPU
+(large_scale_editor.py:366-399).  Here a batch of E edits advances through
+the same 50 DDIM steps together, with every per-edit array carrying a
+leading edit axis sharded over the mesh's "dp" axis (one or more edits per
+chip).  Model params are replicated; there is no cross-edit communication —
+collectives appear only in host-requested reductions.
+
+Structure: the per-edit step programs from core/editor.py are vmapped over
+the edit axis.  Step-shared scalars (step index, timestep, splat annealing)
+stay unbatched (in_axes=None), so the self-attention window `lax.cond`
+remains a real branch under vmap instead of degrading to a both-sides
+`select`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from geodiffuser_tpu.config import EditConfig
+from geodiffuser_tpu.core import edit_attention, edit_state, inversion, optimization
+from geodiffuser_tpu.core import scheduler as sched
+from geodiffuser_tpu.core.editor import EditSession, _attention_resolutions
+from geodiffuser_tpu.core.pipeline import Pipeline
+from geodiffuser_tpu.ops import image as image_ops
+from geodiffuser_tpu.parallel import sharding as sh
+
+
+@dataclasses.dataclass
+class BatchEditResult:
+    images: np.ndarray            # (E, 2, H, W, 3) uint8
+    edited_images: List[np.ndarray]
+    loss_log: Dict[int, Dict[str, np.ndarray]]   # per-step, arrays over edits
+    timings: Dict[str, float]
+
+
+class ShardedEditSession(EditSession):
+    """EditSession whose device programs run E edits at once, dp-sharded."""
+
+    def __init__(self, pipeline: Pipeline, cfg: EditConfig, mesh=None):
+        super().__init__(pipeline, cfg)
+        self.mesh = mesh if mesh is not None else sh.make_mesh()
+        edit_ax = NamedSharding(self.mesh, P("dp"))
+        rep = NamedSharding(self.mesh, P())
+
+        # vmap in_axes: params None; latents/ctx/masks/weights/sgd batched;
+        # t/i/radius/tau/lr shared.
+        vopt = jax.vmap(
+            self._optimize_step_impl,
+            in_axes=(None, 0, 0, None, 0, None, 0, None, None, None, 0),
+        )
+        vcfg = jax.vmap(
+            self._cfg_step_impl,
+            in_axes=(None, 0, 0, None, 0, None, 0, None, None, 0, None),
+        )
+        vpre = jax.vmap(self._preprocess_impl, in_axes=(0, 0, 0, 0))
+        vinv = jax.vmap(
+            lambda params, latent, cu, cc: inversion.ddim_invert(
+                pipeline, params, latent, cu, cc,
+                guidance_scale=cfg.guidance_scale, num_steps=cfg.num_ddim_steps,
+            ),
+            in_axes=(None, 0, 0, 0),
+        )
+
+        # Placement via explicit device_put on the inputs; jit propagates the
+        # arg shardings (GSPMD) — params replicated, edit-batched arrays on dp.
+        self._b_optimize = jax.jit(vopt)
+        self._b_cfg = jax.jit(vcfg)
+        self._b_preprocess = jax.jit(vpre)
+        self._b_invert = jax.jit(vinv)
+        self._edit_ax = edit_ax
+        self._rep = rep
+        self.pipeline = dataclasses.replace(
+            pipeline, params=jax.tree.map(lambda x: jax.device_put(x, rep), pipeline.params)
+        )
+
+    def run_batch(
+        self,
+        images: np.ndarray,       # (E, H, W, 3)
+        depths: np.ndarray,       # (E, H, W)
+        masks_in: np.ndarray,     # (E, H, W)
+        transforms: np.ndarray,   # (E, 4, 4)
+        prompts: Optional[List[str]] = None,
+    ) -> BatchEditResult:
+        cfg = self.cfg
+        e = images.shape[0]
+        prompts = prompts if prompts is not None else [""] * e
+        t_start = time.time()
+        timings: Dict[str, float] = {}
+
+        imgs = jnp.asarray(images, jnp.float32)
+        if images.dtype == np.uint8:
+            imgs = imgs / 255.0
+        dep = jnp.asarray(depths, jnp.float32)
+        msk = image_ops.binarize(jnp.asarray(masks_in, jnp.float32))
+        tra = jnp.asarray(transforms, jnp.float32)
+
+        put = lambda x: jax.tree.map(lambda a: jax.device_put(a, self._edit_ax), x)
+        imgs, dep, msk, tra = put(imgs), put(dep), put(msk), put(tra)
+
+        tf, masks = self._b_preprocess(imgs, dep, msk, tra)
+
+        ctx_cond = put(jnp.stack([self.pipeline.encode_text([p])[0] for p in prompts]))
+        ctx_uncond = put(jnp.tile(self.pipeline.encode_text([cfg.uncond_text]), (e, 1, 1)))
+        latent0 = put(jnp.concatenate(
+            [self.pipeline.encode_image(imgs[i]) for i in range(e)], axis=0
+        )[:, None])  # (E, 1, h, w, 4)
+        timings["preprocess"] = time.time() - t_start
+
+        t_inv = time.time()
+        all_latents, _ = self._b_invert(
+            self.pipeline.params["unet"], latent0,
+            ctx_uncond[:, None], ctx_cond[:, None],
+        )  # (E, T+1, 1, h, w, 4)
+        all_latents = jax.block_until_ready(all_latents)
+        timings["inversion"] = time.time() - t_inv
+
+        n = cfg.num_ddim_steps
+        x_t = all_latents[:, -1, 0]
+        latents2 = jnp.stack([x_t, x_t], axis=1)                      # (E, 2, h, w, 4)
+        context4 = jnp.stack(
+            [ctx_uncond, ctx_uncond, ctx_cond, ctx_cond], axis=1
+        ).astype(jnp.float32)                                          # (E, 4, 77, D)
+
+        optimize_frac = min(cfg.optimize_steps, max(cfg.self_replace_steps, cfg.cross_replace_steps))
+        defaults = {b: dict(t_) for b, t_ in cfg.resolved_loss_weights().items()}
+        weights_host = [
+            {b: dict(t_) for b, t_ in defaults.items()} for _ in range(e)
+        ]
+        sgd_state = jax.vmap(optimization.init_sgd_state)(latents2[:, 1], context4[:, 3])
+        lr_first = optimization.effective_lr(cfg.lr, 0, cfg.skip_optim_steps, n)
+        radius = float(cfg.splat.radius)
+        tau = float(cfg.splat.tau)
+        loss_log: Dict[int, Dict[str, np.ndarray]] = {}
+        timesteps = sched.timesteps(n, self.pipeline.schedule.num_train_timesteps)
+        t_loop = time.time()
+
+        def stack_weights():
+            return {
+                b: {
+                    k_: jnp.asarray([w[b][k_] for w in weights_host], jnp.float32)
+                    for k_ in defaults[b]
+                }
+                for b in defaults
+            }
+
+        for i, t in enumerate(timesteps):
+            radius = max(1, int(radius * cfg.splat.radius_decay))
+            tau = max(tau * cfg.splat.tau_decay, cfg.splat.tau_floor)
+            wa = stack_weights()
+            r_j, tau_j = jnp.float32(radius), jnp.float32(tau)
+            t_j, i_j = jnp.int32(t), jnp.int32(i)
+
+            do_optimize = (
+                i < optimize_frac * n
+                and i % cfg.skip_optim_steps == 0
+                and i >= cfg.fast_start_steps * n
+            )
+            if do_optimize:
+                lr_eff = (
+                    jnp.float32(lr_first)
+                    if cfg.use_optimizer
+                    else jnp.float32(optimization.effective_lr(cfg.lr, i, cfg.skip_optim_steps, n))
+                )
+                latents2, context4, sgd_state, loss, logs = self._b_optimize(
+                    self.pipeline.params["unet"], latents2, context4, t_j,
+                    masks, i_j, wa, r_j, tau_j, lr_eff, sgd_state,
+                )
+                logs_n = jax.vmap(edit_attention.normalize_logs)(logs)
+                logs_host = {k: np.asarray(v) for k, v in logs_n.items()}
+                logs_host["total"] = np.asarray(loss)
+                loss_log[i] = logs_host
+                if cfg.use_adaptive_optimization:
+                    for j in range(e):
+                        weights_host[j] = optimization.adaptive_step(
+                            weights_host[j], defaults, i, cfg.skip_optim_steps, n,
+                            float(logs_host["self/removal"][j]),
+                            cfg.edit_type, cfg.removal_loss_value,
+                        )
+                    wa = stack_weights()
+
+            pinned = all_latents[:, n - 1 - i]
+            do_replace = jnp.bool_(i < cfg.latent_replace * n)
+            latents2 = self._b_cfg(
+                self.pipeline.params["unet"], latents2, context4, t_j,
+                masks, i_j, wa, r_j, tau_j, pinned, do_replace,
+            )
+
+        latents2 = jax.block_until_ready(latents2)
+        timings["edit_loop"] = time.time() - t_loop
+
+        t_post = time.time()
+        flat = latents2.reshape(e * 2, *latents2.shape[2:])
+        decoded = self.pipeline.decode_latents(flat).reshape(
+            e, 2, self.pipeline.image_size, self.pipeline.image_size, 3
+        )
+        edited = []
+        imgs_np = np.asarray(imgs)
+        msk_np = np.asarray(msk)
+        masks_host = jax.tree.map(np.asarray, masks)
+        for j in range(e):
+            tf_j = jax.tree.map(lambda a, j=j: a[j], tf)
+            masks_j = jax.tree.map(lambda a, j=j: a[j], masks_host)
+            edited.append(
+                self._postprocess(decoded[j, -1], imgs_np[j], tf_j, msk_np[j], masks_j)
+            )
+        timings["decode_post"] = time.time() - t_post
+        timings["total"] = time.time() - t_start
+        return BatchEditResult(
+            images=decoded, edited_images=edited, loss_log=loss_log, timings=timings
+        )
