@@ -1,0 +1,219 @@
+"""Diffusers/HF checkpoint -> flax param-tree conversion.
+
+Loads a local Stable-Diffusion checkpoint in the diffusers directory layout
+(the format the reference pulls from the hub: `StableDiffusionPipeline.
+from_pretrained`, diffusion.py:107; VAE swap :126-128; custom UNet
+:133-137):
+
+    <dir>/unet/diffusion_pytorch_model.safetensors
+    <dir>/vae/diffusion_pytorch_model.safetensors
+    <dir>/text_encoder/model.safetensors
+    <dir>/tokenizer/{vocab.json, merges.txt}
+
+Conversion rules (torch -> flax):
+    Linear  weight (out, in)        -> kernel (in, out)         [transpose]
+    Conv    weight (out, in, kh, kw)-> kernel (kh, kw, in, out) [perm 2,3,1,0]
+    Norm    weight/bias             -> scale/bias
+    Embedding weight                -> embedding
+
+The environment this framework was built in has no network egress, so the
+full converters are exercised against synthetic checkpoints with the exact
+diffusers key layout, plus a true numerical-parity test for the CLIP text
+tower against torch/transformers (tests/test_weights.py).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    from safetensors import safe_open
+
+    out = {}
+    with safe_open(path, framework="np") as f:
+        for k in f.keys():
+            out[k] = f.get_tensor(k)
+    return out
+
+
+def _linear(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w.T)
+
+
+def _conv(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+
+
+def _assign(tree: dict, path: Tuple[str, ...], value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+# --------------------------------------------------------------------- UNet
+
+_UNET_MODULE_RE = [
+    # down_blocks.0.resnets.1 / attentions.1 / downsamplers.0
+    (re.compile(r"^(down_blocks)\.(\d+)\.(resnets|attentions|downsamplers)\.(\d+)\.(.*)$"),
+     lambda m: (f"{m.group(1)}_{m.group(2)}_{m.group(3)}_{m.group(4)}", m.group(5))),
+    (re.compile(r"^(up_blocks)\.(\d+)\.(resnets|attentions|upsamplers)\.(\d+)\.(.*)$"),
+     lambda m: (f"{m.group(1)}_{m.group(2)}_{m.group(3)}_{m.group(4)}", m.group(5))),
+    (re.compile(r"^mid_block\.(resnets|attentions)\.(\d+)\.(.*)$"),
+     lambda m: (f"mid_block_{m.group(1)}_{m.group(2)}", m.group(3))),
+    (re.compile(r"^(time_embedding|conv_in|conv_out|conv_norm_out)\.(.*)$"),
+     lambda m: (m.group(1), m.group(2))),
+]
+
+
+def _split_unet_key(key: str) -> Tuple[str, str]:
+    for rx, fn in _UNET_MODULE_RE:
+        m = rx.match(key)
+        if m:
+            return fn(m)
+    raise KeyError(f"unrecognized UNet key: {key}")
+
+
+def _inner_path(rest: str) -> Tuple[str, ...]:
+    """Convert the within-module remainder to our flax path components."""
+    rest = rest.replace("transformer_blocks.", "transformer_blocks_")
+    rest = rest.replace("to_out.0", "to_out_0")
+    rest = rest.replace("ff.net.0", "ff.net_0")
+    rest = rest.replace("ff.net.2", "ff.net_2")
+    return tuple(rest.split("."))
+
+
+_PARAM_MAP = {"weight": "kernel", "bias": "bias"}
+_NORM_HINTS = ("norm", "layer_norm", "group_norm", "final_layer_norm")
+
+
+def _is_norm(path: Tuple[str, ...]) -> bool:
+    name = path[-2] if len(path) >= 2 else ""
+    return any(h in name for h in _NORM_HINTS)
+
+
+def _convert_tensor(path: Tuple[str, ...], t: np.ndarray) -> Tuple[Tuple[str, ...], np.ndarray]:
+    leaf = path[-1]
+    if _is_norm(path):
+        new_leaf = "scale" if leaf == "weight" else "bias"
+        return path[:-1] + (new_leaf,), t
+    if leaf == "weight":
+        if t.ndim == 4:
+            return path[:-1] + ("kernel",), _conv(t)
+        if t.ndim == 2:
+            return path[:-1] + ("kernel",), _linear(t)
+        return path[:-1] + ("scale",), t  # 1-D norm without hint
+    return path, t
+
+
+def convert_unet(state: Dict[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for key, t in state.items():
+        module, rest = _split_unet_key(key)
+        path = (module,) + _inner_path(rest)
+        path, t = _convert_tensor(path, t)
+        _assign(tree, path, t)
+    return {"params": tree}
+
+
+# ---------------------------------------------------------------------- VAE
+
+def convert_vae(state: Dict[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for key, t in state.items():
+        key = key.replace("mid_block.resnets.", "mid_block_resnets_")
+        key = key.replace("mid_block.attentions.", "mid_block_attentions_")
+        key = re.sub(r"(down|up)_blocks\.(\d+)\.(resnets|downsamplers|upsamplers)\.(\d+)\.",
+                     r"\1_blocks_\2_\3_\4.", key)
+        key = key.replace("to_out.0", "to_out_0")
+        parts = tuple(key.split("."))
+        # encoder./decoder. prefixes become top-level module names
+        path, t = _convert_tensor(parts, t)
+        _assign(tree, path, t)
+    return {"params": tree}
+
+
+# ------------------------------------------------------------------ CLIP text
+
+def convert_clip_text(state: Dict[str, np.ndarray]) -> dict:
+    """HF CLIPTextModel state_dict -> our CLIPTextEncoder tree."""
+    tree: dict = {}
+    for key, t in state.items():
+        key = key.replace("text_model.", "")
+        if key == "embeddings.token_embedding.weight":
+            _assign(tree, ("token_embedding", "embedding"), t)
+            continue
+        if key == "embeddings.position_embedding.weight":
+            _assign(tree, ("position_embedding",), t)
+            continue
+        if key == "embeddings.position_ids":
+            continue
+        m = re.match(r"^encoder\.layers\.(\d+)\.(.*)$", key)
+        if m:
+            rest = m.group(2)
+            rest = rest.replace("mlp.fc1", "mlp_fc1").replace("mlp.fc2", "mlp_fc2")
+            path = (f"layers_{m.group(1)}",) + tuple(rest.split("."))
+            path, t = _convert_tensor(path, t)
+            _assign(tree, path, t)
+            continue
+        if key.startswith("final_layer_norm."):
+            path = ("final_layer_norm", "scale" if key.endswith("weight") else "bias")
+            _assign(tree, path, t)
+            continue
+        raise KeyError(f"unrecognized CLIP key: {key}")
+    return {"params": tree}
+
+
+# ------------------------------------------------------------------- loader
+
+def _check_same_structure(ours, theirs, name: str):
+    import jax
+
+    a = {jax.tree_util.keystr(k): v.shape for k, v in jax.tree_util.tree_leaves_with_path(ours)}
+    b = {jax.tree_util.keystr(k): v.shape for k, v in jax.tree_util.tree_leaves_with_path(theirs)}
+    missing = sorted(set(a) - set(b))
+    extra = sorted(set(b) - set(a))
+    mismatched = sorted(k for k in set(a) & set(b) if a[k] != b[k])
+    if missing or extra or mismatched:
+        raise ValueError(
+            f"{name} checkpoint mismatch:\n missing={missing[:8]}\n extra={extra[:8]}\n"
+            f" shape-mismatch={[(k, a[k], b[k]) for k in mismatched[:8]]}"
+        )
+
+
+def load_sd_checkpoint(checkpoint_dir: str, init_params: dict, config) -> dict:
+    """Replace random-init params with converted checkpoint weights,
+    validating exact structural agreement."""
+    import jax
+
+    out = dict(init_params)
+    cvt = {
+        "unet": ("unet/diffusion_pytorch_model.safetensors", convert_unet),
+        "vae": ("vae/diffusion_pytorch_model.safetensors", convert_vae),
+        "text": ("text_encoder/model.safetensors", convert_clip_text),
+    }
+    for name, (rel, fn) in cvt.items():
+        path = os.path.join(checkpoint_dir, rel)
+        if not os.path.exists(path):
+            alt = path.replace(".safetensors", ".bin")
+            if os.path.exists(alt):
+                import torch
+
+                state = {k: v.numpy() for k, v in torch.load(alt, map_location="cpu").items()}
+            else:
+                raise FileNotFoundError(f"missing {path}")
+        else:
+            state = _load_safetensors(path)
+        converted = fn(state)
+        _check_same_structure(init_params[name], converted, name)
+        dtype = config.param_dtype
+        out[name] = jax.tree.map(
+            lambda a, b: jnp.asarray(b, a.dtype), init_params[name], converted
+        )
+    return out
