@@ -170,6 +170,76 @@ def convert_clip_text(state: Dict[str, np.ndarray]) -> dict:
     return {"params": tree}
 
 
+# --------------------------------------------------------- Depth-Anything
+
+def convert_depth_anything(state: Dict[str, np.ndarray]) -> dict:
+    """torch DPT_DINOv2 state_dict (depth_anything/dpt.py) -> our
+    DepthAnything tree."""
+    tree: dict = {}
+    for key, t in state.items():
+        if key.endswith("mask_token") or "num_batches" in key:
+            continue
+        if key == "pretrained.cls_token":
+            _assign(tree, ("pretrained", "cls_token"), t)
+            continue
+        if key == "pretrained.pos_embed":
+            _assign(tree, ("pretrained", "pos_embed"), t)
+            continue
+        if key.startswith("pretrained.patch_embed.proj."):
+            leaf = key.rsplit(".", 1)[1]
+            val = _conv(t) if leaf == "weight" else t
+            _assign(tree, ("pretrained", "patch_embed_proj", "kernel" if leaf == "weight" else "bias"), val)
+            continue
+        m = re.match(r"^pretrained\.blocks\.(\d+)\.(.*)$", key)
+        if m:
+            rest = m.group(2)
+            rest = (rest.replace("attn.qkv", "attn_qkv").replace("attn.proj", "attn_proj")
+                        .replace("mlp.fc1", "mlp_fc1").replace("mlp.fc2", "mlp_fc2")
+                        .replace("ls1.gamma", "ls1_gamma").replace("ls2.gamma", "ls2_gamma"))
+            path = ("pretrained", f"blocks_{m.group(1)}") + tuple(rest.split("."))
+            if path[-1] in ("ls1_gamma", "ls2_gamma"):
+                _assign(tree, path, t)
+            else:
+                path, t = _convert_tensor(path, t)
+                _assign(tree, path, t)
+            continue
+        if key.startswith("pretrained.norm."):
+            _assign(tree, ("pretrained", "norm", "scale" if key.endswith("weight") else "bias"), t)
+            continue
+        m = re.match(r"^depth_head\.(.*)$", key)
+        if m:
+            rest = m.group(1)
+            rest = rest.replace("scratch.", "")
+            if rest.startswith("refinenet4.resConfUnit1."):
+                # torch constructs resConfUnit1 in refinenet4 but never calls
+                # it (refinenet4 gets a single input, dpt.py:127); our module
+                # only materializes used params.
+                continue
+            rest = re.sub(r"^projects\.(\d+)", r"projects_\1", rest)
+            rest = re.sub(r"^resize_layers\.(\d+)", r"resize_layers_\1", rest)
+            rest = re.sub(r"^refinenet(\d)", r"refinenet\1", rest)
+            rest = rest.replace("output_conv2.0", "output_conv2_0")
+            rest = rest.replace("output_conv2.2", "output_conv2_2")
+            path = ("depth_head",) + tuple(rest.split("."))
+            leaf = path[-1]
+            if leaf == "weight":
+                if "resize_layers_0" in path or "resize_layers_1" in path:
+                    # torch ConvTranspose2d (in, out, kh, kw) -> flax
+                    # ConvTranspose(transpose_kernel=True) (kh, kw, out, in)
+                    t = np.ascontiguousarray(t.transpose(2, 3, 1, 0))
+                    path = path[:-1] + ("kernel",)
+                elif t.ndim == 4:
+                    t = _conv(t)
+                    path = path[:-1] + ("kernel",)
+                else:
+                    path = path[:-1] + ("kernel",)
+                    t = _linear(t)
+            _assign(tree, path, t)
+            continue
+        raise KeyError(f"unrecognized Depth-Anything key: {key}")
+    return {"params": tree}
+
+
 # ------------------------------------------------------------------- loader
 
 def _check_same_structure(ours, theirs, name: str):
