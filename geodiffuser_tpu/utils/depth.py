@@ -168,7 +168,9 @@ class DepthAnythingPredictor:
         if img.max() > 1.5:
             img = img / 255.0
         h, w = img.shape[:2]
-        nh, nw = self._preprocess_size(h, w)
+        patch = self.cfg.dino().patch_size
+        lower = 518 if patch == 14 else 16 * patch
+        nh, nw = self._preprocess_size(h, w, lower_bound=lower, multiple=patch)
         x = image_ops.resize_bilinear_hwc(jnp.asarray(img), nh, nw)
         x = (x - IMAGENET_MEAN) / IMAGENET_STD
         d = self._apply(self.params, x[None])[0]
