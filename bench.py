@@ -44,6 +44,11 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # persistent compilation cache: the optimize-step grad program takes
+    # ~15 min to compile through the remote-compile tunnel; cache it on disk
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     import jax.numpy as jnp
 
     from geodiffuser_tpu.config import EditConfig, ModelConfig
