@@ -240,6 +240,120 @@ def convert_depth_anything(state: Dict[str, np.ndarray]) -> dict:
     return {"params": tree}
 
 
+# ----------------------------------------------------------------------- SAM
+
+def convert_sam(state: Dict[str, np.ndarray]) -> dict:
+    """torch segment_anything Sam state_dict -> our Sam tree.
+
+    mask_downscaling (mask-prompt path) params are skipped: the GeoDiffuser
+    pipeline only uses point prompts (depth_predictor.py:53-102).
+    """
+    tree: dict = {}
+    for key, t in state.items():
+        if key.startswith("prompt_encoder.mask_downscaling"):
+            continue
+        # ---- image encoder
+        m = re.match(r"^image_encoder\.(.*)$", key)
+        if m:
+            rest = m.group(1)
+            if rest == "pos_embed":
+                _assign(tree, ("image_encoder", "pos_embed"), t)
+                continue
+            if rest.startswith("patch_embed.proj."):
+                leaf = "kernel" if rest.endswith("weight") else "bias"
+                val = _conv(t) if leaf == "kernel" else t
+                _assign(tree, ("image_encoder", "patch_embed_proj", leaf), val)
+                continue
+            mb = re.match(r"^blocks\.(\d+)\.(.*)$", rest)
+            if mb:
+                r = mb.group(2)
+                blk = ("image_encoder", f"blocks_{mb.group(1)}")
+                if r in ("attn.rel_pos_h", "attn.rel_pos_w"):
+                    _assign(tree, blk + ("attn", r.split(".")[1]), t)
+                    continue
+                r = r.replace("mlp.lin1", "mlp_lin1").replace("mlp.lin2", "mlp_lin2")
+                path = blk + tuple(r.split("."))
+                path, t = _convert_tensor(path, t)
+                _assign(tree, path, t)
+                continue
+            mn = re.match(r"^neck\.(\d+)\.(.*)$", rest)
+            if mn:
+                idx, leaf = mn.group(1), mn.group(2)
+                if idx in ("0", "2"):
+                    val = _conv(t) if leaf == "weight" else t
+                    _assign(tree, ("image_encoder", f"neck_{idx}", "kernel" if leaf == "weight" else "bias"), val)
+                else:  # LayerNorm2d keeps torch names weight/bias
+                    _assign(tree, ("image_encoder", f"neck_{idx}", leaf), t)
+                continue
+            raise KeyError(f"unrecognized SAM image_encoder key: {key}")
+        # ---- prompt encoder
+        m = re.match(r"^prompt_encoder\.(.*)$", key)
+        if m:
+            rest = m.group(1)
+            if rest == "pe_layer.positional_encoding_gaussian_matrix":
+                _assign(tree, ("prompt_encoder", "pe_gaussian"), t)
+                continue
+            me = re.match(r"^point_embeddings\.(\d+)\.weight$", rest)
+            if me:
+                _assign(tree, ("prompt_encoder", f"point_embed_{me.group(1)}"), t[0])
+                continue
+            if rest == "not_a_point_embed.weight":
+                _assign(tree, ("prompt_encoder", "not_a_point_embed"), t[0])
+                continue
+            if rest == "no_mask_embed.weight":
+                _assign(tree, ("prompt_encoder", "no_mask_embed"), t[0])
+                continue
+            raise KeyError(f"unrecognized SAM prompt_encoder key: {key}")
+        # ---- mask decoder
+        m = re.match(r"^mask_decoder\.(.*)$", key)
+        if m:
+            rest = m.group(1)
+            if rest == "iou_token.weight":
+                _assign(tree, ("mask_decoder", "iou_token"), t)
+                continue
+            if rest == "mask_tokens.weight":
+                _assign(tree, ("mask_decoder", "mask_tokens"), t)
+                continue
+            mt = re.match(r"^transformer\.(.*)$", rest)
+            if mt:
+                r = mt.group(1)
+                r = re.sub(r"^layers\.(\d+)\.", r"layers_\1.", r)
+                r = r.replace("mlp.lin1", "mlp_lin1").replace("mlp.lin2", "mlp_lin2")
+                path = ("mask_decoder",) + tuple(r.split("."))
+                path, t = _convert_tensor(path, t)
+                _assign(tree, path, t)
+                continue
+            mu = re.match(r"^output_upscaling\.(\d+)\.(.*)$", rest)
+            if mu:
+                idx, leaf = mu.group(1), mu.group(2)
+                if idx in ("0", "3"):
+                    if leaf == "weight":
+                        # ConvTranspose2d (in, out, kh, kw) -> (kh, kw, out, in)
+                        val = np.ascontiguousarray(t.transpose(2, 3, 1, 0))
+                        _assign(tree, ("mask_decoder", f"upscale_{idx}", "kernel"), val)
+                    else:
+                        _assign(tree, ("mask_decoder", f"upscale_{idx}", "bias"), t)
+                else:  # LayerNorm2d
+                    _assign(tree, ("mask_decoder", f"upscale_{idx}", leaf), t)
+                continue
+            mh = re.match(r"^output_hypernetworks_mlps\.(\d+)\.layers\.(\d+)\.(.*)$", rest)
+            if mh:
+                i, j, leaf = mh.group(1), mh.group(2), mh.group(3)
+                path = ("mask_decoder", f"hyper_{i}_lin{j}",
+                        "kernel" if leaf == "weight" else "bias")
+                _assign(tree, path, _linear(t) if leaf == "weight" else t)
+                continue
+            mi = re.match(r"^iou_prediction_head\.layers\.(\d+)\.(.*)$", rest)
+            if mi:
+                j, leaf = mi.group(1), mi.group(2)
+                path = ("mask_decoder", f"iou_lin{j}", "kernel" if leaf == "weight" else "bias")
+                _assign(tree, path, _linear(t) if leaf == "weight" else t)
+                continue
+            raise KeyError(f"unrecognized SAM mask_decoder key: {key}")
+        raise KeyError(f"unrecognized SAM key: {key}")
+    return {"params": tree}
+
+
 # ------------------------------------------------------------------- loader
 
 def _check_same_structure(ours, theirs, name: str):
