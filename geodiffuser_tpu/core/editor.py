@@ -183,6 +183,7 @@ class EditSession:
         transform: np.ndarray,    # (4, 4)
         prompt: str = "",
         progress=None,
+        use_null_text: bool | None = None,
     ) -> EditResult:
         cfg = self.cfg
         timings: Dict[str, float] = {}
@@ -214,6 +215,15 @@ class EditSession:
         all_latents = jax.block_until_ready(all_latents)
         timings["inversion"] = time.time() - t_inv
 
+        # --- optional null-text optimization (perform_inversion,
+        # editor.py:581-589; off by default as in the reference)
+        uncond_per_step = None
+        if cfg.perform_inversion if use_null_text is None else use_null_text:
+            uncond_per_step = inversion.null_text_optimization(
+                self.pipeline, self.pipeline.params["unet"], all_latents,
+                ctx_uncond, ctx_cond, cfg.guidance_scale, cfg.num_ddim_steps,
+            )
+
         # --- loop state
         t_loop = time.time()
         n = cfg.num_ddim_steps
@@ -239,6 +249,11 @@ class EditSession:
             return {b: {k_: jnp.float32(v_) for k_, v_ in t_.items()} for b, t_ in w.items()}
 
         for i, t in enumerate(timesteps):
+            if uncond_per_step is not None:
+                # per-step optimized uncond embeddings for both uncond streams
+                # (editor.py:165-168)
+                u = uncond_per_step[i]
+                context4 = context4.at[0].set(u[0]).at[1].set(u[0])
             # splat annealing, reference semantics incl. the int() floor on
             # radius (editor.py:154-156)
             radius = max(1, int(radius * cfg.splat.radius_decay))

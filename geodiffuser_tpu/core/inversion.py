@@ -80,3 +80,68 @@ def reconstruct(
 
     out, _ = jax.lax.scan(step, latent_T.astype(jnp.float32), timesteps)
     return out
+
+
+def null_text_optimization(
+    pipeline: Pipeline,
+    params_unet,
+    all_latents: jnp.ndarray,      # (T+1, S0, h, w, 4) inversion trajectory
+    context_uncond: jnp.ndarray,   # (S0, 77, D)
+    context_cond: jnp.ndarray,     # (S0, 77, D)
+    guidance_scale: float,
+    num_steps: int,
+    num_inner_steps: int = 10,
+    early_stop_eps: float = 1e-5,
+    lr: float = 1e-2,
+):
+    """Per-timestep null-text (unconditional embedding) optimization.
+
+    Rebuilds NullInversion.null_optimization (inversion.py:213-259): for each
+    denoising timestep, Adam-optimize the uncond embedding so the CFG DDIM
+    step reproduces the stored inversion trajectory; lr decays 1e-2*(1-i/100),
+    early stop at eps + i*2e-5.  Off by default — the reference ships with
+    perform_inversion=False ("Null text optimization is not required for
+    GeoDiffuser", inversion.py:270) — but provided for API completeness.
+
+    Returns (T, S0, 77, D) optimized uncond embeddings, one per timestep.
+    """
+    import optax
+
+    timesteps = sched.timesteps(num_steps, pipeline.schedule.num_train_timesteps)
+
+    def recon_loss(uncond, latent_cur, eps_cond, t):
+        eps_u = pipeline.unet.apply(params_unet, latent_cur, t, uncond)
+        eps = eps_u + guidance_scale * (eps_cond - eps_u)
+        prev = sched.ddim_step(pipeline.schedule, eps, t, latent_cur, num_steps)
+        return prev, eps
+
+    def loss_fn(uncond, latent_cur, latent_prev, eps_cond, t):
+        prev, _ = recon_loss(uncond, latent_cur, eps_cond, t)
+        return jnp.mean((prev - latent_prev) ** 2)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    eps_cond_fn = jax.jit(
+        lambda p, x, t, c: pipeline.unet.apply(p, x, t, c)
+    )
+    step_fn = jax.jit(
+        lambda uncond, latent_cur, eps_cond, t: recon_loss(uncond, latent_cur, eps_cond, t)[0]
+    )
+
+    uncond = context_uncond.astype(jnp.float32)
+    latent_cur = all_latents[-1]
+    out = []
+    for i, t in enumerate(timesteps):
+        t_j = jnp.int32(t)
+        latent_prev = all_latents[num_steps - 1 - i]
+        eps_cond = eps_cond_fn(params_unet, latent_cur, t_j, context_cond)
+        opt = optax.adam(lr * (1.0 - i / 100.0))
+        opt_state = opt.init(uncond)
+        for _ in range(num_inner_steps):
+            loss, g = grad_fn(uncond, latent_cur, latent_prev, eps_cond, t_j)
+            updates, opt_state = opt.update(g, opt_state)
+            uncond = optax.apply_updates(uncond, updates)
+            if float(loss) < early_stop_eps + i * 2e-5:
+                break
+        out.append(uncond)
+        latent_cur = step_fn(uncond, latent_cur, eps_cond, t_j)
+    return jnp.stack(out, axis=0)

@@ -1,0 +1,207 @@
+"""UI callback layer — framework-native, UI-toolkit-agnostic.
+
+Rebuilds the callback surface of the reference Gradio app
+(ui_utils.py:322-995, wired in geo_diff_ui.py:62-1272) as plain functions
+over an explicit `UIState`, so the same logic drives the gradio app
+(ui/app.py), tests, or any other front end.  No mutable module globals.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+from geodiffuser_tpu.config import EditConfig, SplatConfig
+from geodiffuser_tpu.ops import camera
+from geodiffuser_tpu.ops import image as image_ops
+from geodiffuser_tpu.ops import splat as splat_ops
+from geodiffuser_tpu.ops import transform_field as tf_ops
+from geodiffuser_tpu.utils import depth as depth_utils
+from geodiffuser_tpu.utils import exp_io
+
+# preview overlay colors (ui_utils.py:466-492): orange = removed region,
+# olive = amodal ring
+ORANGE = np.array([255, 165, 0], np.uint8)
+OLIVE = np.array([128, 128, 0], np.uint8)
+
+
+@dataclasses.dataclass
+class UIState:
+    """Explicit replacement for the reference's shared module globals
+    (editor.py:52-56) — one per browser session."""
+
+    image: Optional[np.ndarray] = None       # (512, 512, 3) uint8
+    mask: Optional[np.ndarray] = None        # (512, 512) float
+    depth: Optional[np.ndarray] = None       # (512, 512) float
+    background: Optional[np.ndarray] = None
+    transform: np.ndarray = dataclasses.field(default_factory=lambda: np.eye(4))
+    image_shape: Tuple[int, int] = (512, 512)
+    sam_predictor: object = None
+    depth_predictor: object = None
+    pipeline: object = None
+    sessions: dict = dataclasses.field(default_factory=dict)
+
+
+def load_image(state: UIState, image: np.ndarray, size: int = 512) -> np.ndarray:
+    """Resize the upload to the working square (geo_diff_ui flow)."""
+    from PIL import Image
+
+    state.image_shape = image.shape[:2]
+    img = np.asarray(Image.fromarray(np.asarray(image, np.uint8)).resize((size, size)))
+    state.image = img[..., :3]
+    state.mask = None
+    state.depth = None
+    return state.image
+
+
+def get_mask(state: UIState, x_frac: float, y_frac: float) -> np.ndarray:
+    """Click-to-SAM-mask (ui_utils.py:322-360)."""
+    assert state.image is not None
+    if state.sam_predictor is None:
+        raise RuntimeError("no SAM predictor configured (weights unavailable?)")
+    state.mask = state.sam_predictor.mask_from_click(state.image, x_frac, y_frac)
+    return state.mask
+
+
+def set_mask(state: UIState, mask: np.ndarray) -> np.ndarray:
+    state.mask = image_ops.binarize(np.asarray(mask, np.float32))
+    state.mask = np.asarray(state.mask)
+    return state.mask
+
+
+def get_depth(
+    state: UIState, model: str = "depth_anything", translate_factor: float = 0.7
+) -> np.ndarray:
+    """Depth button (ui_utils.py:380-411): model choice + push-back factor."""
+    assert state.image is not None
+    h, w = state.image.shape[:2]
+    if model == "constant":
+        state.depth = depth_utils.constant_depth(h, w)
+    elif model == "depth_anything":
+        if state.depth_predictor is None:
+            raise RuntimeError("no depth predictor configured")
+        state.depth = state.depth_predictor(state.image, translate_factor=translate_factor)
+    else:
+        raise ValueError(f"unknown depth model {model}")
+    return depth_utils.depth_scaler(state.depth)
+
+
+def compose_transform_from_sliders(
+    state: UIState,
+    tx: float = 0.0, ty: float = 0.0, tz: float = 0.0,
+    rx: float = 0.0, ry: float = 0.0, rz: float = 0.0,
+    sx: float = 1.0, sy: float = 1.0, sz: float = 1.0,
+) -> np.ndarray:
+    """Slider ranges tx,ty,tz in [-.5,.5]; r in [-90,90] deg; s in [.5,1.5]
+    composed T @ S @ Rx @ Ry @ Rz (ui_utils.py:529-555)."""
+    state.transform = camera.compose_transform(tx, ty, tz, rx, ry, rz, sx, sy, sz)
+    return state.transform
+
+
+def get_transformed_preview(
+    state: UIState,
+    focal_length: float = 550.0,
+    splat: SplatConfig = SplatConfig(),
+) -> np.ndarray:
+    """"Check Transformed Image" preview (project_image, ui_utils.py:414-503):
+    warped image with orange fill where the object left and an olive amodal
+    ring."""
+    import jax.numpy as jnp
+
+    assert state.image is not None and state.mask is not None and state.depth is not None
+    tf = tf_ops.build_transform_field(
+        jnp.asarray(state.image, jnp.float32) / 255.0,
+        jnp.asarray(state.depth, jnp.float32),
+        jnp.asarray(state.mask, jnp.float32),
+        jnp.asarray(state.transform, jnp.float32),
+        focal_length=focal_length,
+        splat_radius=splat.radius, splat_tau=splat.tau, z_beta=splat.z_beta,
+    )
+    preview = np.asarray(jnp.clip(tf.warped_preview, 0, 1) * 255).astype(np.uint8)
+    amodal = np.asarray(tf.amodal_mask)
+    warped_mask = np.asarray(
+        image_ops.binarize(
+            splat_ops.splat_image(
+                jnp.asarray(state.mask, jnp.float32)[..., None], tf.coords,
+                radius=splat.radius, tau=splat.tau, z_beta=splat.z_beta,
+            )[..., 0]
+        )
+    )
+    removed = np.clip(state.mask - warped_mask, 0, 1)
+    ring = np.clip(amodal - warped_mask, 0, 1)
+    out = preview.copy()
+    out[removed > 0.5] = ORANGE
+    out[ring > 0.5] = OLIVE
+    return out
+
+
+def _get_session(state: UIState, cfg: EditConfig):
+    from geodiffuser_tpu.core.editor import EditSession
+
+    key = (cfg.edit_type, cfg.num_ddim_steps)
+    if key not in state.sessions:
+        state.sessions[key] = EditSession(state.pipeline, cfg)
+    return state.sessions[key]
+
+
+def get_edited_image(
+    state: UIState, prompt: str = "", cfg: Optional[EditConfig] = None, progress=None
+) -> np.ndarray:
+    """"Move Object" (ui_utils.py:589-616)."""
+    assert state.image is not None and state.mask is not None and state.depth is not None
+    cfg = cfg or EditConfig()
+    sess = _get_session(state, cfg)
+    res = sess.run(state.image, state.depth, state.mask, state.transform,
+                   prompt=prompt, progress=progress)
+    return res.edited_image
+
+
+def inpaint_mask(
+    state: UIState, prompt: str = "", cfg: Optional[EditConfig] = None, progress=None
+) -> np.ndarray:
+    """"Inpaint Mask" (ui_utils.py:619-651): constant depth, identity
+    transform, remover controller."""
+    assert state.image is not None and state.mask is not None
+    h, w = state.image.shape[:2]
+    cfg = cfg or EditConfig(edit_type="geometry_remover", guidance_scale=5.0,
+                            optimize_steps=0.85, latent_replace=0.4,
+                            cross_replace_steps=0.9, self_replace_steps=0.9)
+    sess = _get_session(state, cfg)
+    res = sess.run(
+        state.image, depth_utils.constant_depth(h, w), state.mask, np.eye(4),
+        prompt=prompt, progress=progress,
+    )
+    return res.edited_image
+
+
+def save_experiment(state: UIState, root: str, category: str = "Mix",
+                    result: Optional[np.ndarray] = None) -> str:
+    """save_exp flow (ui_utils.py:52-109): auto-numbered folder under the
+    category."""
+    import os
+
+    cat_dir = os.path.join(root, category)
+    os.makedirs(cat_dir, exist_ok=True)
+    nums = [int(d) for d in os.listdir(cat_dir) if d.isdigit()]
+    folder = os.path.join(cat_dir, str(max(nums, default=0) + 1))
+    exp_io.save_exp(
+        folder, state.image, state.depth, state.mask, state.transform,
+        result=result, background_image=state.background,
+        image_shape=state.image_shape,
+    )
+    return folder
+
+
+def load_experiment(state: UIState, folder: str):
+    """read_exp flow (ui_utils.py:118-159)."""
+    exp = exp_io.read_exp(folder)
+    state.image = exp.input_image
+    state.mask = image_ops.binarize(np.asarray(exp.input_mask, np.float32))
+    state.mask = np.asarray(state.mask)
+    state.depth = exp.depth
+    state.transform = exp.transform
+    state.background = exp.background_image
+    state.image_shape = tuple(int(v) for v in exp.image_shape[:2])
+    return exp

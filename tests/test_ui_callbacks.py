@@ -1,0 +1,81 @@
+"""UI callback layer tests (no gradio; tiny models)."""
+
+import numpy as np
+import pytest
+
+from geodiffuser_tpu.config import EditConfig, ModelConfig
+from geodiffuser_tpu.models.sam import SamConfig
+from geodiffuser_tpu.ui import callbacks as cb
+from geodiffuser_tpu.utils import depth as depth_utils
+from geodiffuser_tpu.utils.segmentation import SamPredictor
+
+SIZE = 128
+
+
+@pytest.fixture(scope="module")
+def state():
+    from geodiffuser_tpu.core.pipeline import Pipeline
+
+    s = cb.UIState()
+    s.pipeline = Pipeline.create(ModelConfig.tiny(), image_size=SIZE)
+    s.sam_predictor = SamPredictor(config=SamConfig.tiny())
+    s.depth_predictor = depth_utils.DepthAnythingPredictor(encoder="tiny")
+    return s
+
+
+def test_full_ui_flow(state, tmp_path):
+    rng = np.random.RandomState(0)
+    upload = (rng.rand(300, 400, 3) * 255).astype(np.uint8)
+    img = cb.load_image(state, upload, size=SIZE)
+    assert img.shape == (SIZE, SIZE, 3)
+    assert state.image_shape == (300, 400)
+
+    mask = cb.get_mask(state, 0.4, 0.6)
+    assert mask.shape == (SIZE, SIZE)
+
+    # deterministic mask for the rest of the flow
+    m = np.zeros((SIZE, SIZE), np.float32)
+    m[40:80, 40:80] = 1.0
+    cb.set_mask(state, m)
+
+    dvis = cb.get_depth(state, "depth_anything", translate_factor=0.7)
+    assert dvis.shape == (SIZE, SIZE) and np.isfinite(state.depth).all()
+    cb.get_depth(state, "constant")
+    assert float(state.depth.mean()) == 0.5
+
+    t = cb.compose_transform_from_sliders(state, tx=0.1, ry=20.0)
+    assert t.shape == (4, 4)
+
+    prev = cb.get_transformed_preview(state)
+    assert prev.shape == (SIZE, SIZE, 3) and prev.dtype == np.uint8
+    # the orange removed-region marker must appear somewhere
+    assert (prev == cb.ORANGE).all(-1).any()
+
+    cfg = EditConfig(num_ddim_steps=2, skip_optim_steps=1, optimize_steps=0.65)
+    out = cb.get_edited_image(state, "a cube", cfg)
+    assert out.shape == (SIZE, SIZE, 3) and np.isfinite(out).all()
+
+    folder = cb.save_experiment(state, str(tmp_path), "Translation_2D", result=out)
+    state2 = cb.UIState()
+    exp = cb.load_experiment(state2, folder)
+    np.testing.assert_array_equal(state2.image, state.image)
+    assert exp.result is not None
+
+
+def test_inpaint_flow(state):
+    m = np.zeros((SIZE, SIZE), np.float32)
+    m[50:70, 50:70] = 1.0
+    cb.set_mask(state, m)
+    cfg = EditConfig(
+        edit_type="geometry_remover", num_ddim_steps=2, skip_optim_steps=1,
+        optimize_steps=0.85,
+    )
+    out = cb.inpaint_mask(state, "", cfg)
+    assert out.shape == (SIZE, SIZE, 3) and np.isfinite(out).all()
+
+
+def test_app_gated_without_gradio():
+    from geodiffuser_tpu.ui import app
+
+    with pytest.raises((RuntimeError, ImportError)):
+        app.build_app()
