@@ -107,21 +107,47 @@ class PretrainedWeightsUnavailable(RuntimeError):
 
 
 def lpips(a: np.ndarray, b: np.ndarray, weights_dir: Optional[str] = None) -> float:
-    """LPIPS(alex) @ 224^2 (image_fidelity.py:183-206).  Requires pretrained
-    AlexNet + linear-head weights under weights_dir."""
-    raise PretrainedWeightsUnavailable(
-        "LPIPS needs pretrained AlexNet weights; none are available in this "
-        "offline environment. Provide weights_dir with alexnet features "
-        "(torchvision state_dict) once network access or a local cache exists."
+    """LPIPS(alex) @ 224^2 (image_fidelity.py:183-206) via the native
+    evaluation/lpips.py network; needs pretrained AlexNet + linear heads."""
+    import os
+
+    from geodiffuser_tpu.evaluation.lpips import LPIPSMetric
+
+    if not weights_dir:
+        raise PretrainedWeightsUnavailable(
+            "LPIPS needs pretrained AlexNet + lpips linear-head weights; pass "
+            "weights_dir containing alexnet.pth and lpips_alex.pth."
+        )
+    metric = LPIPSMetric(
+        alex_path=os.path.join(weights_dir, "alexnet.pth"),
+        lin_path=os.path.join(weights_dir, "lpips_alex.pth"),
     )
+    return metric(a, b)
 
 
 def clip_similarity(a: np.ndarray, b: np.ndarray, weights_dir: Optional[str] = None) -> float:
-    """CLIP ViT-B/32 image-embedding cosine (image_fidelity.py:183-206)."""
-    raise PretrainedWeightsUnavailable(
-        "CLIP similarity needs the pretrained ViT-B/32 image tower; none is "
-        "available in this offline environment."
+    """CLIP ViT-B/32 image-embedding cosine (image_fidelity.py:183-206) via
+    the native models/clip_vision.py tower; needs pretrained weights."""
+    import os
+
+    import jax
+
+    from geodiffuser_tpu.models import weights as weights_lib
+    from geodiffuser_tpu.models.clip_vision import (
+        CLIPVisionConfig, CLIPVisionEncoder, preprocess_clip_image,
     )
+
+    if not weights_dir:
+        raise PretrainedWeightsUnavailable(
+            "CLIP similarity needs the pretrained ViT-B/32 image tower; pass "
+            "weights_dir containing clip_vision.safetensors."
+        )
+    state = weights_lib._load_safetensors(os.path.join(weights_dir, "clip_vision.safetensors"))
+    params = weights_lib.convert_clip_vision(state)
+    model = CLIPVisionEncoder(CLIPVisionConfig())
+    ea = np.asarray(model.apply(params, preprocess_clip_image(a)))[0]
+    eb = np.asarray(model.apply(params, preprocess_clip_image(b)))[0]
+    return float(ea @ eb / (np.linalg.norm(ea) * np.linalg.norm(eb) + 1e-12))
 
 
 def evaluate_experiment(exp, edited: np.ndarray, t_coords: np.ndarray, mask_warped: np.ndarray) -> dict:

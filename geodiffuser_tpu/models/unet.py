@@ -101,6 +101,11 @@ class UNet2DCondition(nn.Module):
                 x = ResnetBlock2D(ch, groups=groups, name=f"up_blocks_{i}_resnets_{j}", **kw)(x, temb)
                 if has_attn:
                     x = attn_block(ch, f"up_blocks_{i}_attentions_{j}")(x, context, edit)
+            # Feature tap per up block (no-op unless applied with
+            # mutable=['features']) — backs DIFT-style semantic features for
+            # the MD metric (reference: evaluation/dift_sd.py exposes
+            # up-block activations via a modified UNet2DConditionModel).
+            self.sow("features", f"up_block_{i}", x)
             if i < n_blocks - 1:
                 x = Upsample2D(ch, name=f"up_blocks_{i}_upsamplers_0", **kw)(x)
 

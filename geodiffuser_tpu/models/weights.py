@@ -170,6 +170,44 @@ def convert_clip_text(state: Dict[str, np.ndarray]) -> dict:
     return {"params": tree}
 
 
+# ------------------------------------------------------------ CLIP vision
+
+def convert_clip_vision(state: Dict[str, np.ndarray]) -> dict:
+    """HF CLIPVisionModel(WithProjection) state_dict -> our tree."""
+    tree: dict = {}
+    for key, t in state.items():
+        key = key.replace("vision_model.", "")
+        if key == "embeddings.class_embedding":
+            _assign(tree, ("class_embedding",), t)
+            continue
+        if key == "embeddings.patch_embedding.weight":
+            _assign(tree, ("patch_embedding", "kernel"), _conv(t))
+            continue
+        if key == "embeddings.position_embedding.weight":
+            _assign(tree, ("position_embedding",), t)
+            continue
+        if key == "embeddings.position_ids":
+            continue
+        if key.startswith("pre_layrnorm."):
+            _assign(tree, ("pre_layrnorm", "scale" if key.endswith("weight") else "bias"), t)
+            continue
+        if key.startswith("post_layernorm."):
+            _assign(tree, ("post_layernorm", "scale" if key.endswith("weight") else "bias"), t)
+            continue
+        if key == "visual_projection.weight":
+            _assign(tree, ("visual_projection", "kernel"), _linear(t))
+            continue
+        m = re.match(r"^encoder\.layers\.(\d+)\.(.*)$", key)
+        if m:
+            rest = m.group(2).replace("mlp.fc1", "mlp_fc1").replace("mlp.fc2", "mlp_fc2")
+            path = (f"layers_{m.group(1)}",) + tuple(rest.split("."))
+            path, t = _convert_tensor(path, t)
+            _assign(tree, path, t)
+            continue
+        raise KeyError(f"unrecognized CLIP vision key: {key}")
+    return {"params": tree}
+
+
 # --------------------------------------------------------- Depth-Anything
 
 def convert_depth_anything(state: Dict[str, np.ndarray]) -> dict:

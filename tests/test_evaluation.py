@@ -1,0 +1,54 @@
+"""Evaluation subsystem tests (offline-runnable parts)."""
+
+import numpy as np
+import pytest
+
+from geodiffuser_tpu.config import ModelConfig
+from geodiffuser_tpu.core.pipeline import Pipeline
+from geodiffuser_tpu.evaluation import dift
+from geodiffuser_tpu.ops import camera
+
+
+def test_harris_keypoints_find_corners():
+    img = np.zeros((64, 64), np.float32)
+    img[20:44, 20:44] = 1.0  # a square: corners at (20,20),(20,43),(43,20),(43,43)
+    kps = dift.harris_keypoints(img, max_points=8)
+    assert len(kps) >= 4
+    corners = np.array([[20, 20], [43, 20], [20, 43], [43, 43]], np.float64)
+    for c in corners:
+        d = np.abs(kps - c).sum(-1).min()
+        assert d <= 4, (c, kps)
+
+
+def test_md_metric_identity_transform_small():
+    pipe = Pipeline.create(ModelConfig.tiny(), image_size=64)
+    feat = dift.SDFeaturizer(pipe, t=261, up_block=1, ensemble=2)
+    rng = np.random.RandomState(0)
+    img = rng.rand(64, 64, 3).astype(np.float32)
+    img[20:44, 20:44] += 1.0
+    img = np.clip(img / img.max(), 0, 1)
+    mask = np.zeros((64, 64), np.float32)
+    mask[20:44, 20:44] = 1.0
+    tc = np.asarray(camera.identity_field(64, 64))
+    md, n = dift.mean_distance_metric(feat, img, img, mask, tc, max_points=10)
+    assert n > 0 and np.isfinite(md)
+    # identical images + identity transform: matches should be near-exact up
+    # to the latent-grid quantization (feature res is 1/8 of image -> allow a
+    # couple of feature cells; with a tiny random UNet allow slack)
+    assert md < 40.0, md
+
+
+def test_lpips_network_shapes():
+    import jax
+    import jax.numpy as jnp
+
+    from geodiffuser_tpu.evaluation.lpips import LPIPS
+
+    m = LPIPS()
+    a = jnp.zeros((1, 64, 64, 3))
+    params = m.init(jax.random.PRNGKey(0), a, a)
+    d = m.apply(params, a, a)
+    assert d.shape == (1,) and float(d[0]) == 0.0
+    b = jnp.ones((1, 64, 64, 3)) * 0.5
+    d2 = m.apply(params, a, b)
+    assert float(d2[0]) != 0.0

@@ -93,3 +93,22 @@ def test_metrics_offline():
     assert metrics.warp_error(a, a, tc, m, radius=1.3) < 0.15
     with pytest.raises(metrics.PretrainedWeightsUnavailable):
         metrics.lpips(a, b)
+
+
+def test_fid_is_math():
+    from geodiffuser_tpu.evaluation import fid
+
+    rng = np.random.RandomState(0)
+    a = rng.randn(64, 8)
+    # identical distributions -> FID ~ 0
+    assert fid.fid_score(a, a.copy()) < 1e-6
+    b = a + 5.0
+    d = fid.fid_score(a, b)
+    assert abs(d - 8 * 25.0) < 1.0  # ||diff||^2 = 8 dims * 5^2
+    # IS: uniform logits -> score 1; one-hot-ish logits -> score ~ n_classes
+    uniform = np.zeros((100, 10))
+    m, s = fid.inception_score(uniform)
+    assert abs(m - 1.0) < 1e-5
+    sharp = np.eye(10)[rng.randint(0, 10, 100)] * 50.0
+    m2, _ = fid.inception_score(sharp)
+    assert m2 > 5.0

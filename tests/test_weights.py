@@ -156,3 +156,34 @@ def test_structure_check_catches_mismatch():
             {"params": {"b": np.zeros((2, 2))}},
             "x",
         )
+
+
+def test_clip_vision_numerical_parity_vs_transformers():
+    import torch
+    from transformers import CLIPVisionConfig as HFCfg, CLIPVisionModelWithProjection
+
+    import jax
+    import jax.numpy as jnp
+
+    from geodiffuser_tpu.models.clip_vision import CLIPVisionConfig, CLIPVisionEncoder
+
+    hf_cfg = HFCfg(
+        image_size=32, patch_size=8, hidden_size=64, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, projection_dim=16,
+        hidden_act="quick_gelu",
+    )
+    torch.manual_seed(0)
+    hf = CLIPVisionModelWithProjection(hf_cfg).eval()
+    state = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+
+    ours = CLIPVisionEncoder(CLIPVisionConfig(
+        image_size=32, patch_size=8, hidden_size=64, layers=2, heads=4, projection_dim=16,
+    ))
+    x = np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32)
+    params0 = jax.eval_shape(lambda: ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))))
+    conv = W.convert_clip_vision(state)
+    W._check_same_structure(params0, conv, "clip_vision")
+    out_ours = np.asarray(ours.apply(conv, jnp.asarray(x)))
+    with torch.no_grad():
+        out_ref = hf(torch.tensor(x.transpose(0, 3, 1, 2))).image_embeds.numpy()
+    np.testing.assert_allclose(out_ours, out_ref, atol=3e-4, rtol=1e-3)
