@@ -67,6 +67,16 @@ class Attention(nn.Module):
         k = k.reshape(s, lk, self.heads, head_dim).transpose(0, 2, 1, 3)
         v = v.reshape(s, lk, self.heads, head_dim).transpose(0, 2, 1, 3)
 
+        # Attention-map capture (reference AttentionStore keeps maps up to
+        # 16^2 tokens, attention_sharing.py:168-179): only when the caller
+        # makes 'attn_store' mutable, and only for small maps.
+        if self.is_mutable_collection("attn_store") and lq <= 16 * 16:
+            probs = edit_attention.attn_probs(q, k, scale)
+            self.sow(
+                "attn_store", "map", probs.mean(axis=0),
+                reduce_fn=lambda a, b: b, init_fn=lambda: 0.0,
+            )
+
         if edit is None:
             out = edit_attention.vanilla_attention(q, k, v, scale)
         else:
