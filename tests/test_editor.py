@@ -96,3 +96,16 @@ def test_remover_end_to_end(pipe, scene):
     # movement/amodal are not part of the remover (attention_processors.py:810-827)
     assert res.loss_log[0]["self/movement"] == 0.0
     assert res.loss_log[0]["self/amodal"] == 0.0
+
+
+def test_stitch_end_to_end(pipe, scene):
+    from geodiffuser_tpu.core.editor import perform_stitch
+
+    image, depth, mask = scene
+    rng = np.random.RandomState(7)
+    background = rng.rand(SIZE, SIZE, 3).astype(np.float32)
+    cfg = EditConfig(num_ddim_steps=2, skip_optim_steps=1, optimize_steps=0.65)
+    t = camera.compose_transform(tx=0.1)
+    res = perform_stitch(pipe, background, image, mask, depth, t, cfg=cfg, prompt="obj")
+    assert res.edited_image.shape == (SIZE, SIZE, 3)
+    assert np.isfinite(res.edited_image).all()
