@@ -176,3 +176,57 @@ class DepthAnythingPredictor:
         d = self._apply(self.params, x[None])[0]
         d = image_ops.resize_bilinear(d, h, w)
         return postprocess_relative_depth(np.asarray(d), translate_factor)
+
+
+class MidasDPTPredictor:
+    """dpt_large path of get_monocular_depth (depth_predictor.py:105-274):
+    384-resize + ImageNet normalization, inverse-depth output, then the same
+    invert/push-back postprocess."""
+
+    def __init__(self, params=None, config=None, size: int = 384):
+        from geodiffuser_tpu.models.midas_dpt import DPTConfig, DPTLarge
+
+        self.cfg = config or DPTConfig()
+        self.size = size if config is None else 16 * self.cfg.pos_grid // 2
+        self.model = DPTLarge(self.cfg)
+        if params is None:
+            params = self.model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, self.cfg.patch_size * 4, self.cfg.patch_size * 4, 3)),
+            )
+        self.params = params
+        self._apply = jax.jit(self.model.apply)
+
+    def __call__(self, image: np.ndarray, translate_factor: float = 0.0) -> np.ndarray:
+        img = np.asarray(image, np.float32)
+        if img.max() > 1.5:
+            img = img / 255.0
+        h, w = img.shape[:2]
+        p = self.cfg.patch_size
+        s = max(self.size // p, 2) * p
+        x = image_ops.resize_bilinear_hwc(jnp.asarray(img), s, s)
+        x = (x - IMAGENET_MEAN) / IMAGENET_STD
+        d = self._apply(self.params, x[None])[0]
+        d = image_ops.resize_bilinear(d, h, w)
+        # MiDaS emits inverse depth (larger = closer); same postprocess
+        return postprocess_relative_depth(np.asarray(d), translate_factor)
+
+
+def get_depth_predictor(name: str = "depth_anything", **kw):
+    """Depth-model registry (the reference's model dropdown,
+    ui_utils.py:380-411: depth_anything | dpt_large | zoedepth | constant).
+
+    ZoeDepth (metric depth, BEiT backbone + metric-bins head,
+    depth_predictor.py:277-319) is not yet implemented natively; it was an
+    optional alternative backend — the pipeline default is Depth-Anything.
+    """
+    if name == "depth_anything":
+        return DepthAnythingPredictor(**kw)
+    if name in ("dpt_large", "midas"):
+        return MidasDPTPredictor(**kw)
+    if name == "zoedepth":
+        raise NotImplementedError(
+            "ZoeDepth metric-depth backend is not yet ported; use "
+            "depth_anything (the reference default) or dpt_large."
+        )
+    raise ValueError(f"unknown depth model {name}")
