@@ -93,6 +93,27 @@ def vanilla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: flo
     return attn_out(attn_probs(q, k, scale), v)
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def fast_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float, allow_flash: bool
+) -> jnp.ndarray:
+    """Vanilla attention, routed through the Pallas flash kernel on TPU when
+    the map is large (kernels/flash_attention.py).  Callers must pass
+    allow_flash=False on differentiated paths (no custom VJP yet)."""
+    from geodiffuser_tpu.kernels import flash_attention as fa
+
+    lq, lk = q.shape[-2], k.shape[-2]
+    if allow_flash and _on_tpu() and fa.use_flash(lq, lk):
+        return fa.flash_attention(q, k, v, scale)
+    return vanilla_attention(q, k, v, scale)
+
+
 # ---------------------------------------------------------------------------
 # Losses (all fp32; masks are flattened (L,) floats)
 # ---------------------------------------------------------------------------
@@ -402,7 +423,9 @@ def edited_attention(
     """
     s, h, l, d = q.shape
     res = int(math.isqrt(l))
-    out_v = vanilla_attention(q, k, v, scale)
+    # flash only on non-differentiated passes (the optimize pass backprops
+    # through out_v for the edit stream on non-loss layers)
+    out_v = fast_attention(q, k, v, scale, allow_flash=not state.compute_losses)
 
     if res * res != l or res not in state.masks:
         return out_v, jnp.float32(0.0), zero_logs()

@@ -78,7 +78,8 @@ class Attention(nn.Module):
             )
 
         if edit is None:
-            out = edit_attention.vanilla_attention(q, k, v, scale)
+            # inversion / reconstruction / feature passes are all no-grad
+            out = edit_attention.fast_attention(q, k, v, scale, allow_flash=True)
         else:
             out, loss, logs = edit_attention.edited_attention(
                 q, k, v, is_cross=is_cross, state=edit, scale=scale
