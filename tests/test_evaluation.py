@@ -52,3 +52,23 @@ def test_lpips_network_shapes():
     b = jnp.ones((1, 64, 64, 3)) * 0.5
     d2 = m.apply(params, a, b)
     assert float(d2[0]) != 0.0
+
+
+def test_study_csv_and_gallery(tmp_path):
+    from geodiffuser_tpu.evaluation import study
+    from geodiffuser_tpu.utils import exp_io
+
+    csv_path = tmp_path / "study.csv"
+    csv_path.write_text("ours,dragon\nours,ours\nzero123,ours\n")
+    res = study.analyze_study_csv([str(csv_path)], ["ours", "dragon", "zero123"])
+    assert res["ours"]["count"] == 4 and res["dragon"]["count"] == 1
+    assert abs(sum(v["rate"] for v in res.values()) - 1.0) < 1e-6
+
+    rng = np.random.RandomState(0)
+    folder = str(tmp_path / "Mix" / "1")
+    exp_io.save_exp(folder, (rng.rand(32, 32, 3) * 255).astype(np.uint8),
+                    rng.rand(32, 32), (rng.rand(32, 32) > 0.5).astype(np.float32),
+                    np.eye(4))
+    out = study.build_gallery(str(tmp_path), str(tmp_path / "gallery.png"))
+    import os
+    assert os.path.exists(out)
