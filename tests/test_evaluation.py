@@ -62,7 +62,7 @@ def test_study_csv_and_gallery(tmp_path):
     csv_path.write_text("ours,dragon\nours,ours\nzero123,ours\n")
     res = study.analyze_study_csv([str(csv_path)], ["ours", "dragon", "zero123"])
     assert res["ours"]["count"] == 4 and res["dragon"]["count"] == 1
-    assert abs(sum(v["rate"] for v in res.values()) - 1.0) < 1e-6
+    assert abs(sum(v["rate"] for v in res.values()) - 1.0) < 1e-3  # rates rounded to 4dp
 
     rng = np.random.RandomState(0)
     folder = str(tmp_path / "Mix" / "1")
