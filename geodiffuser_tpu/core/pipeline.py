@@ -38,6 +38,8 @@ class Pipeline:
     tokenizer: Any
     schedule: sched.Schedule
     image_size: int = 512
+    # jitted encoder/decoder wrappers (one compile per shape); created lazily
+    _jit_cache: dict = dataclasses.field(default_factory=dict, compare=False)
 
     @property
     def latent_size(self) -> int:
@@ -78,11 +80,18 @@ class Pipeline:
             tokenizer=tokenizer, schedule=schedule, image_size=image_size,
         )
 
-    # -- model wrappers -----------------------------------------------------
+    # -- model wrappers (jitted; op-by-op dispatch through the device tunnel
+    # costs ~ms per op, so even "one-shot" encoders must be compiled) -------
+    def _jitted(self, name, fn):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn)
+        return self._jit_cache[name]
+
     def encode_text(self, prompts) -> jnp.ndarray:
         """List[str] -> (B, 77, cross_dim) float32 embeddings."""
         ids = jnp.asarray(self.tokenizer(list(prompts)))
-        return self.text_encoder.apply(self.params["text"], ids)
+        f = self._jitted("text", lambda p, i: self.text_encoder.apply(p, i))
+        return f(self.params["text"], ids)
 
     def encode_image(self, image: jnp.ndarray) -> jnp.ndarray:
         """(H, W, 3) float in [0,1] -> (1, h, w, 4) scaled latents.
@@ -90,19 +99,27 @@ class Pipeline:
         Reference: image2latent (diffusion.py:71-97): x*2-1, VAE posterior
         mean, * 0.18215.
         """
-        x = (jnp.asarray(image, jnp.float32) * 2.0 - 1.0)[None]
-        mean = self.vae.apply(self.params["vae"], x, method=self.vae.encode)
-        return mean * self.config.vae_scaling_factor
+
+        def enc(p, img):
+            x = (img.astype(jnp.float32) * 2.0 - 1.0)[None]
+            mean = self.vae.apply(p, x, method=self.vae.encode)
+            return mean * self.config.vae_scaling_factor
+
+        return self._jitted("vae_enc", enc)(self.params["vae"], jnp.asarray(image))
 
     def decode_latents(self, latents: jnp.ndarray) -> np.ndarray:
         """(S, h, w, 4) scaled latents -> (S, H, W, 3) uint8 images.
 
         Reference: latent2image (diffusion.py:62-68).
         """
-        z = latents / self.config.vae_scaling_factor
-        img = self.vae.apply(self.params["vae"], z, method=self.vae.decode)
-        img = jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
-        return np.asarray(jnp.round(img * 255.0).astype(jnp.uint8))
+
+        def dec(p, z):
+            img = self.vae.apply(p, z / self.config.vae_scaling_factor, method=self.vae.decode)
+            img = jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
+            return jnp.round(img * 255.0).astype(jnp.uint8)
+
+        key = f"vae_dec_{latents.shape[0]}"
+        return np.asarray(self._jitted(key, dec)(self.params["vae"], latents))
 
     def unet_apply(self, params_unet, sample, t, context, edit=None, mutable=()):
         return self.unet.apply(params_unet, sample, t, context, edit, mutable=list(mutable))
