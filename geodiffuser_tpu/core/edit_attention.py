@@ -243,13 +243,20 @@ def smoothness_loss(replace_out: jnp.ndarray) -> jnp.ndarray:
 def _warp_queries(q_base: jnp.ndarray, ms: MaskSet, state: EditState) -> jnp.ndarray:
     """Warp the base query field by the transform coordinates inside the
     warped mask: q <- q*(1-m) + m*splat(q) (attention_processors.py:423-424,
-    543-545).  Fully detached, as in the reference."""
+    543-545).  Fully detached, as in the reference.
+
+    Uses the precomputed dense warp operator (one MXU matmul) when the state
+    carries one; falls back to the scatter splat otherwise."""
     h, l, d = q_base.shape
     res = int(math.isqrt(l))
     q_img = q_base.transpose(1, 0, 2).reshape(res, res, h * d).astype(jnp.float32)
-    q_warp = splat_ops.splat_image(
-        q_img, ms.t_coords, radius=state.splat_radius, tau=state.splat_tau, z_beta=state.z_beta
-    )
+    if state.warp_mats is not None and res in state.warp_mats:
+        q_warp = splat_ops.apply_warp_matrix(state.warp_mats[res], q_img)
+    else:
+        q_warp = splat_ops.splat_image(
+            q_img, ms.t_coords, radius=state.splat_radius, tau=state.splat_tau,
+            z_beta=state.z_beta,
+        )
     m = ms.mask_new_warped_2d[..., None]
     out = q_img * (1.0 - m) + m * q_warp
     return sg(out.reshape(l, h, d).transpose(1, 0, 2).astype(q_base.dtype))

@@ -77,6 +77,9 @@ class EditState(flax.struct.PyTreeNode):
     weights_self: Dict[str, jnp.ndarray]
     weights_cross: Dict[str, jnp.ndarray]
     masks: Dict[int, MaskSet]         # keyed by resolution (static keys)
+    # Dense splat operators per resolution (ops/splat.py:warp_matrix): the
+    # per-layer query warp becomes one MXU matmul instead of a scatter.
+    warp_mats: Optional[Dict[int, jnp.ndarray]] = None
 
     # static fields (part of the treedef -> separate jit specializations)
     loss_min_seq: int = flax.struct.field(pytree_node=False, default=32 * 32)
@@ -188,6 +191,20 @@ def build_mask_sets(
     return out
 
 
+def build_warp_matrices(
+    masks: Dict[int, MaskSet],
+    radius: jnp.ndarray | float,
+    tau: jnp.ndarray | float,
+    z_beta: float,
+) -> Dict[int, jnp.ndarray]:
+    """Dense splat operator per resolution for the current (annealed) splat
+    params; built once per step, amortized over all 32 attention layers."""
+    return {
+        res: splat_ops.warp_matrix(ms.t_coords, radius=radius, tau=tau, z_beta=z_beta)
+        for res, ms in masks.items()
+    }
+
+
 def make_edit_state(
     cfg: EditConfig,
     masks: Dict[int, MaskSet],
@@ -197,6 +214,7 @@ def make_edit_state(
     weights: Optional[Mapping[str, Mapping[str, float]]] = None,
     splat_radius: float | jnp.ndarray | None = None,
     splat_tau: float | jnp.ndarray | None = None,
+    warp_mats: Optional[Dict[int, jnp.ndarray]] = None,
 ) -> EditState:
     w = weights if weights is not None else cfg.resolved_loss_weights()
     mode = "remover" if cfg.edit_type == "geometry_remover" else "editor"
@@ -215,6 +233,7 @@ def make_edit_state(
         weights_self=as_f32(w["self"]),
         weights_cross=as_f32(w["cross"]),
         masks=masks,
+        warp_mats=warp_mats,
         loss_min_seq=loss_min_seq(max_res),
         amodal_min_seq=amodal_min_seq(max_res),
         mode=mode,

@@ -99,9 +99,10 @@ class EditSession:
         return tf, masks
 
     def _state(self, masks, i, weights, radius, tau, use_cfg, compute_losses):
+        warp_mats = edit_state.build_warp_matrices(masks, radius, tau, self.cfg.splat.z_beta)
         return edit_state.make_edit_state(
             self.cfg, masks, cur_step=i, use_cfg=use_cfg, compute_losses=compute_losses,
-            weights=weights, splat_radius=radius, splat_tau=tau,
+            weights=weights, splat_radius=radius, splat_tau=tau, warp_mats=warp_mats,
         )
 
     # --------------------------------------------------------------- optimize
@@ -165,9 +166,7 @@ class EditSession:
             # while i < latent_replace*T (editor.py:382-399)
             res = self.pipeline.latent_size
             ms = masks[res]
-            warped = splat_ops.splat_image(
-                new_latents[0], ms.t_coords, radius=radius, tau=tau, z_beta=cfg.splat.z_beta
-            )
+            warped = splat_ops.apply_warp_matrix(state.warp_mats[res], new_latents[0])
             i_mask = image_ops.binarize(ms.mask_new_warped_2d)[..., None]
             replaced = new_latents[1] * (1.0 - i_mask) + i_mask * warped
             edit_lat = jnp.where(do_replace, replaced, new_latents[1])

@@ -212,3 +212,57 @@ def densified_mask_splat(
     out = splat_image(src, coords_up, radius=radius, tau=tau, z_beta=z_beta, out_hw=(h, w))
     amodal = image_ops.binarize(out[..., 0], 0.5)
     return image_ops.closing(amodal, close_kernel)
+
+
+def warp_matrix(
+    coords: jnp.ndarray,
+    radius: jnp.ndarray | float = 1.3,
+    tau: jnp.ndarray | float = 1.0,
+    z_beta: float = 20.0,
+    footprint: int = 2,
+    out_hw: tuple[int, int] | None = None,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """The splat as an explicit linear operator: W with
+    splat_image(src, coords) == W @ src.reshape(L, C).
+
+    TPU-first rationale: the edit warps the SAME coordinate field inside
+    every attention layer of every step (attention_processors.py:424, 544).
+    Scatter ops serialize poorly on TPU, but the scatter pattern depends only
+    on (coords, radius, tau) — so we scatter the *weights* once into a dense
+    (L_out, L_in) matrix and every per-layer warp becomes one MXU matmul
+    (4096^2 x C at 64^2).  Normalization and alpha-coverage are folded in.
+    """
+    h, w = coords.shape[:2]
+    oh, ow = out_hw if out_hw is not None else (h, w)
+    n = h * w
+    radius = jnp.asarray(radius, jnp.float32)
+    tau = jnp.asarray(tau, jnp.float32)
+    idx, alpha, z = _corner_data(
+        coords.reshape(n, 3).astype(jnp.float32), oh, ow, radius, tau, footprint
+    )
+    zmin = jnp.full((oh * ow + 1,), jnp.inf, jnp.float32)
+    zmin = zmin.at[idx].min(jnp.where(alpha > 0.0, z, jnp.inf))
+    zref = zmin[idx]
+    zref = jnp.where(jnp.isfinite(zref), zref, 0.0)
+    wgt = alpha * jnp.exp(-z_beta * jnp.maximum(z - zref, 0.0))
+
+    src_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), footprint * footprint)
+    mat = jnp.zeros((oh * ow + 1, n), jnp.float32).at[idx, src_idx].add(wgt)
+    den = mat.sum(axis=1, keepdims=True)
+    log_miss = jnp.zeros((oh * ow + 1,), jnp.float32).at[idx].add(
+        jnp.log1p(-jnp.clip(alpha, 0.0, 1.0 - 1e-4))
+    )
+    coverage = 1.0 - jnp.exp(log_miss)
+    mat = mat / jnp.maximum(den, 1e-8) * coverage[:, None]
+    return mat[:-1].astype(dtype)
+
+
+def apply_warp_matrix(mat: jnp.ndarray, src: jnp.ndarray) -> jnp.ndarray:
+    """(L_out, L_in) @ (H, W, C) -> (H_out, W_out, C) via one matmul."""
+    h, w, c = src.shape
+    l_out = mat.shape[0]
+    side = int(l_out ** 0.5)
+    out = jnp.dot(mat, src.reshape(h * w, c).astype(mat.dtype),
+                  preferred_element_type=jnp.float32)
+    return out.reshape(side, side, c).astype(src.dtype)

@@ -77,3 +77,15 @@ def test_morphology():
     e = np.asarray(image_ops.erode(m, 3))
     assert d[2:7, 2:7].min() == 1.0 and d.sum() == 25
     assert e.sum() == 1 and e[4, 4] == 1.0
+
+
+def test_warp_matrix_matches_splat_image():
+    h = w = 16
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.rand(h, w, 5), jnp.float32)
+    coords = camera.identity_field(h, w).at[..., 0].add(0.13).at[..., 2].set(
+        jnp.asarray(rng.rand(h, w) + 0.5))
+    direct = splat.splat_image(img, coords, radius=1.3, tau=0.8, z_beta=20.0)
+    mat = splat.warp_matrix(coords, radius=1.3, tau=0.8, z_beta=20.0)
+    via_mat = splat.apply_warp_matrix(mat, img)
+    np.testing.assert_allclose(np.asarray(via_mat), np.asarray(direct), atol=2e-5)
