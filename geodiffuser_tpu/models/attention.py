@@ -70,7 +70,11 @@ class Attention(nn.Module):
         # Attention-map capture (reference AttentionStore keeps maps up to
         # 16^2 tokens, attention_sharing.py:168-179): only when the caller
         # makes 'attn_store' mutable, and only for small maps.
-        if self.is_mutable_collection("attn_store") and lq <= 16 * 16:
+        if (
+            self.is_mutable_collection("attn_store")
+            and not self.is_initializing()
+            and lq <= 16 * 16
+        ):
             probs = edit_attention.attn_probs(q, k, scale)
             self.sow(
                 "attn_store", "map", probs.mean(axis=0),

@@ -105,7 +105,8 @@ class UNet2DCondition(nn.Module):
             # mutable=['features']) — backs DIFT-style semantic features for
             # the MD metric (reference: evaluation/dift_sd.py exposes
             # up-block activations via a modified UNet2DConditionModel).
-            self.sow("features", f"up_block_{i}", x)
+            if not self.is_initializing():
+                self.sow("features", f"up_block_{i}", x)
             if i < n_blocks - 1:
                 x = Upsample2D(ch, name=f"up_blocks_{i}_upsamplers_0", **kw)(x)
 
