@@ -64,10 +64,13 @@ def collect_edit_aux(aux_cols) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     return loss, logs
 
 
-def normalize_logs(logs: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+def normalize_logs(logs) -> Dict[str, jnp.ndarray]:
     """Per-layer average of the logged loss components, like
-    convert_loss_log_to_numpy's division by num_layers."""
-    n = jnp.maximum(logs.get("num_layers", jnp.float32(0.0)), 1.0)
+    convert_loss_log_to_numpy's division by num_layers.  Works on jnp or
+    python-float dicts."""
+    n = max(float(logs.get("num_layers", 0.0)), 1.0) if not hasattr(
+        logs.get("num_layers", 0.0), "dtype"
+    ) else jnp.maximum(logs["num_layers"], 1.0)
     return {k: (v / n if k != "num_layers" else v) for k, v in logs.items()}
 
 
@@ -77,10 +80,15 @@ def zero_logs() -> Dict[str, jnp.ndarray]:
     return logs
 
 
-def attn_probs(q: jnp.ndarray, k: jnp.ndarray, scale: float) -> jnp.ndarray:
-    """softmax(q k^T * scale) with fp32 accumulation.  (.., Lq, D) x (.., Lk, D)."""
+def attn_probs(
+    q: jnp.ndarray, k: jnp.ndarray, scale: float, out_dtype=jnp.float32
+) -> jnp.ndarray:
+    """softmax(q k^T * scale) with fp32 accumulation.  (.., Lq, D) x (.., Lk, D).
+
+    out_dtype=bf16 halves the HBM footprint of materialized maps in the loss
+    layers (softmax itself is computed in fp32)."""
     logits = jnp.einsum("...id,...jd->...ij", q, k, preferred_element_type=jnp.float32)
-    return jax.nn.softmax(logits * scale, axis=-1)
+    return jax.nn.softmax(logits * scale, axis=-1).astype(out_dtype)
 
 
 def attn_out(probs: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
@@ -159,7 +167,7 @@ def removal_loss(
     h = replace_probs.shape[0]
     corr = jnp.einsum(
         "hik,hjk->hij", replace_probs, sg(base_probs), preferred_element_type=jnp.float32
-    )
+    ).astype(jnp.float32)
     neg = -1e9
     corr_in = jnp.where(mask_inpaint[None, None, :] > 0.5, corr, neg)
     corr_bg = jnp.where(mask_bg[None, None, :] > 0.5, corr, neg)
@@ -299,26 +307,32 @@ def _editor_stream(
     q_b, k_b, v_b = sg(q[b_i]), sg(k[b_i]), sg(v[b_i])
     q_e = q[e_i]
 
-    # Shared (reference-warped) attention output — fully detached.
-    if is_cross:
-        # Cross-attention: queries live on the spatial grid; keys are text
-        # tokens, so the query field is still warped spatially.
-        q_eb = _warp_queries(q_b, ms, state)
-    else:
-        q_eb = _warp_queries(q_b, ms, state)
-    edit_probs = attn_probs(q_eb, k_b, scale)
-    edit_out = sg(attn_out(edit_probs, v_b))
+    # Shared (reference-warped) attention output — fully detached.  The
+    # query field is warped spatially for both self and cross layers
+    # (keys are text tokens in the cross case).
+    q_eb = _warp_queries(q_b, ms, state)
 
-    # Live edit-stream output: self uses base keys, cross uses edit keys
+    # Live edit-stream keys: self uses base keys, cross uses edit keys
     # (attention_processors.py:432,555); values always from the base stream.
     k_r = k[e_i] if is_cross else k_b
-    if state.apply_constraints and not is_cross:
-        logits = jnp.einsum("hid,hjd->hij", q_e, k_r, preferred_element_type=jnp.float32) * scale
-        logits = logits + _constraint_bias(ms, logits.shape[-1])[None]
-        replace_probs = jax.nn.softmax(logits, axis=-1)
+    need_maps = state.compute_losses
+    if not need_maps:
+        # CFG pass: no probabilities needed anywhere -> flash kernels
+        edit_out = sg(fast_attention(q_eb, k_b, v_b, scale, allow_flash=True))
+        replace_out = fast_attention(q_e, k_r, v_b, scale, allow_flash=True)
+        replace_probs = None
     else:
-        replace_probs = attn_probs(q_e, k_r, scale)
-    replace_out = attn_out(replace_probs, v_b)
+        edit_probs = attn_probs(q_eb, k_b, scale, out_dtype=jnp.bfloat16)
+        edit_out = sg(attn_out(edit_probs, v_b))
+        if state.apply_constraints and not is_cross:
+            logits = jnp.einsum(
+                "hid,hjd->hij", q_e, k_r, preferred_element_type=jnp.float32
+            ) * scale
+            logits = logits + _constraint_bias(ms, logits.shape[-1])[None]
+            replace_probs = jax.nn.softmax(logits, axis=-1).astype(jnp.bfloat16)
+        else:
+            replace_probs = attn_probs(q_e, k_r, scale, out_dtype=jnp.bfloat16)
+        replace_out = attn_out(replace_probs, v_b)
 
     loss = jnp.float32(0.0)
     logs = zero_logs()
@@ -371,8 +385,12 @@ def _remover_stream(
 
     edit_out = sg(base_out)  # the base stream's vanilla output
 
-    replace_probs = attn_probs(q_e, k_b, scale)
-    replace_out = attn_out(replace_probs, v_b)
+    if state.compute_losses:
+        replace_probs = attn_probs(q_e, k_b, scale, out_dtype=jnp.bfloat16)
+        replace_out = attn_out(replace_probs, v_b)
+    else:
+        replace_probs = None
+        replace_out = fast_attention(q_e, k_b, v_b, scale, allow_flash=True)
 
     loss = jnp.float32(0.0)
     logs = zero_logs()
@@ -388,7 +406,9 @@ def _remover_stream(
     # After obj_edit_step, blend identity attention inside the inpaint mask
     # (attention_processors.py:831-834, 922-925).
     def with_identity(_):
-        id_out = vanilla_attention(q_e, k[e_i], v[e_i], scale)
+        id_out = fast_attention(
+            q_e, k[e_i], v[e_i], scale, allow_flash=not state.compute_losses
+        )
         m_in = ms.inpaint[None, :, None].astype(replace_out.dtype)
         m_bg = ms.background[None, :, None].astype(replace_out.dtype)
         return id_out * m_in + replace_out * m_bg
@@ -430,16 +450,25 @@ def edited_attention(
     """
     s, h, l, d = q.shape
     res = int(math.isqrt(l))
-    # flash only on non-differentiated passes (the optimize pass backprops
-    # through out_v for the edit stream on non-loss layers)
-    out_v = fast_attention(q, k, v, scale, allow_flash=not state.compute_losses)
+    n_van = state.n_vanilla_streams  # reference computes vanilla for streams
+    # [0:coords_base[1]] only (attention_processors.py:643-647); the edit
+    # stream's vanilla is needed only outside the self-replace window and is
+    # computed inside that branch.
+    allow_flash = not state.compute_losses
 
     if res * res != l or res not in state.masks:
+        out_v = fast_attention(q, k, v, scale, allow_flash=allow_flash)
         return out_v, jnp.float32(0.0), zero_logs()
     ms = state.masks[res]
 
+    out_v = fast_attention(q[:n_van], k[:n_van], v[:n_van], scale, allow_flash=allow_flash)
+
     need_probs = state.compute_losses and l >= state.loss_min_seq
-    base_probs = attn_probs(sg(q[state.base_idx]), sg(k[state.base_idx]), scale) if need_probs else None
+    base_probs = (
+        attn_probs(sg(q[state.base_idx]), sg(k[state.base_idx]), scale, out_dtype=jnp.bfloat16)
+        if need_probs
+        else None
+    )
 
     def do_edit(_):
         if state.mode == "remover":
@@ -449,7 +478,16 @@ def edited_attention(
         return _editor_stream(q, k, v, is_cross, state, ms, scale, base_probs)
 
     def no_edit(_):
-        return out_v[state.edit_idx], jnp.float32(0.0), zero_logs()
+        return (
+            fast_attention(
+                q[state.edit_idx : state.edit_idx + 1],
+                k[state.edit_idx : state.edit_idx + 1],
+                v[state.edit_idx : state.edit_idx + 1],
+                scale, allow_flash=allow_flash,
+            )[0],
+            jnp.float32(0.0),
+            zero_logs(),
+        )
 
     if is_cross:
         out_e, loss, logs = do_edit(None)
@@ -459,5 +497,5 @@ def edited_attention(
         )
         out_e, loss, logs = jax.lax.cond(in_window, do_edit, no_edit, None)
 
-    out = out_v.at[state.edit_idx].set(out_e)
+    out = jnp.concatenate([out_v, out_e[None]], axis=0)
     return out, loss, logs

@@ -141,7 +141,11 @@ class EditSession:
             latents2 = latents2.at[1].set(new_latent)
         if cfg.optimize_embeddings:
             context4 = context4.at[3].set(new_ctx)
-        return latents2, context4, sgd_state, loss, logs
+        # pack loss + logs into ONE vector: each separate scalar fetch costs
+        # a full tunnel round trip on this platform
+        log_keys = sorted(logs.keys())
+        log_vec = jnp.stack([loss] + [logs[k_] for k_ in log_keys])
+        return latents2, context4, sgd_state, log_vec
 
     # -------------------------------------------------------------------- cfg
     def _cfg_step_impl(
@@ -245,7 +249,7 @@ class EditSession:
         timesteps = sched.timesteps(n, self.pipeline.schedule.num_train_timesteps)
 
         def weight_arrays(w):
-            return {b: {k_: jnp.float32(v_) for k_, v_ in t_.items()} for b, t_ in w.items()}
+            return {b: {k_: np.float32(v_) for k_, v_ in t_.items()} for b, t_ in w.items()}
 
         for i, t in enumerate(timesteps):
             if uncond_per_step is not None:
@@ -258,9 +262,9 @@ class EditSession:
             radius = max(1, int(radius * cfg.splat.radius_decay))
             tau = max(tau * cfg.splat.tau_decay, cfg.splat.tau_floor)
             wa = weight_arrays(weights)
-            r_j, tau_j = jnp.float32(radius), jnp.float32(tau)
-            t_j = jnp.int32(t)
-            i_j = jnp.int32(i)
+            r_j, tau_j = np.float32(radius), np.float32(tau)
+            t_j = np.int32(t)
+            i_j = np.int32(i)
 
             do_optimize = (
                 i < optimize_frac * n
@@ -269,16 +273,21 @@ class EditSession:
             )
             if do_optimize:
                 lr_eff = (
-                    jnp.float32(lr_first)
+                    np.float32(lr_first)
                     if cfg.use_optimizer
-                    else jnp.float32(optimization.effective_lr(cfg.lr, i, cfg.skip_optim_steps, n))
+                    else np.float32(optimization.effective_lr(cfg.lr, i, cfg.skip_optim_steps, n))
                 )
-                latents2, context4, sgd_state, loss, logs = self._optimize_step(
+                latents2, context4, sgd_state, log_vec = self._optimize_step(
                     self.pipeline.params["unet"], latents2, context4, t_j,
                     masks, i_j, wa, r_j, tau_j, lr_eff, sgd_state,
                 )
-                logs_host = {k: float(v) for k, v in edit_attention.normalize_logs(logs).items()}
-                logs_host["total"] = float(loss)
+                log_np = np.asarray(log_vec)  # one fetch
+                log_keys = sorted(edit_attention.zero_logs().keys())
+                logs_host = dict(zip(log_keys, log_np[1:].tolist()))
+                logs_host = {
+                    k: float(v) for k, v in edit_attention.normalize_logs(logs_host).items()
+                }
+                logs_host["total"] = float(log_np[0])
                 loss_log[i] = logs_host
                 if cfg.use_adaptive_optimization:
                     weights = optimization.adaptive_step(
@@ -290,7 +299,7 @@ class EditSession:
                     progress(i / n, desc=f"Editing loss: {logs_host['total']:.4f}")
 
             pinned = all_latents[n - 1 - i]
-            do_replace = jnp.bool_(i < cfg.latent_replace * n)
+            do_replace = np.bool_(i < cfg.latent_replace * n)
             latents2 = self._cfg_step(
                 self.pipeline.params["unet"], latents2, context4, t_j,
                 masks, i_j, wa, r_j, tau_j, pinned, do_replace,

@@ -171,13 +171,18 @@ class ShardedEditSession(EditSession):
                     if cfg.use_optimizer
                     else jnp.float32(optimization.effective_lr(cfg.lr, i, cfg.skip_optim_steps, n))
                 )
-                latents2, context4, sgd_state, loss, logs = self._b_optimize(
+                latents2, context4, sgd_state, log_vec = self._b_optimize(
                     self.pipeline.params["unet"], latents2, context4, t_j,
                     masks, i_j, wa, r_j, tau_j, lr_eff, sgd_state,
                 )
-                logs_n = jax.vmap(edit_attention.normalize_logs)(logs)
-                logs_host = {k: np.asarray(v) for k, v in logs_n.items()}
-                logs_host["total"] = np.asarray(loss)
+                log_np = np.asarray(log_vec)  # (E, 1+K) single fetch
+                log_keys = sorted(edit_attention.zero_logs().keys())
+                raw = {k: log_np[:, 1 + j] for j, k in enumerate(log_keys)}
+                denom = np.maximum(raw["num_layers"], 1.0)
+                logs_host = {
+                    k: (v / denom if k != "num_layers" else v) for k, v in raw.items()
+                }
+                logs_host["total"] = log_np[:, 0]
                 loss_log[i] = logs_host
                 if cfg.use_adaptive_optimization:
                     for j in range(e):
