@@ -147,9 +147,7 @@ def object_placement_loss(
 def removal_loss(
     replace_probs: jnp.ndarray,
     base_probs: jnp.ndarray,
-    mask_inpaint: jnp.ndarray,
-    mask_bg: jnp.ndarray,
-    distance: jnp.ndarray,
+    ms: MaskSet,
     eps: float = 1e-4,
 ) -> jnp.ndarray:
     """Correlation loss steering inpaint-region attention toward background.
@@ -159,30 +157,32 @@ def removal_loss(
     (distance-weighted) and minimize the best inpaint match
     (attention_processors.py:248-280).
 
-    Static-shape reformulation: the reference gathers only inpaint rows
-    (data-dependent shape); we compute all rows and weight by the row mask —
-    identical value.  TODO(perf): padded static gather of inpaint rows, or a
-    fused Pallas row-max kernel, to skip the ~(1-frac) wasted rows.
+    Static-shape reformulation: rows are a static seq//4 budget of inpaint
+    indices precomputed per edit (edit_state.build_mask_sets), so the big
+    correlation matmul shrinks 4x vs all-rows; normalization keeps the full
+    inpaint mask sum (exact parity while the budget holds, documented
+    truncation otherwise).
     """
     h = replace_probs.shape[0]
+    rows, row_mask = ms.inpaint_rows, ms.inpaint_row_mask
+    rp = replace_probs[:, rows, :]                       # (h, K, Lk)
     corr = jnp.einsum(
-        "hik,hjk->hij", replace_probs, sg(base_probs), preferred_element_type=jnp.float32
-    ).astype(jnp.float32)
+        "hik,hjk->hij", rp, sg(base_probs), preferred_element_type=jnp.float32
+    ).astype(jnp.float32)                                # (h, K, L)
     neg = -1e9
-    corr_in = jnp.where(mask_inpaint[None, None, :] > 0.5, corr, neg)
-    corr_bg = jnp.where(mask_bg[None, None, :] > 0.5, corr, neg)
+    corr_in = jnp.where(ms.inpaint[None, None, :] > 0.5, corr, neg)
+    corr_bg = jnp.where(ms.background[None, None, :] > 0.5, corr, neg)
     # reference multiplies by the mask instead of masking out; for max() the
     # two agree whenever any masked correlation is positive (softmax rows are
     # non-negative, so best matches are > 0); where() is safe against all-zero
     # rows which would otherwise pick an arbitrary unmasked column.
     p_in = jnp.max(corr_in, axis=-1)
     p_bg = jnp.max(corr_bg, axis=-1)
-    j_bg = jnp.argmax(corr_bg, axis=-1)  # (h, L)
-    l = replace_probs.shape[1]
-    d_bg = distance[jnp.arange(l)[None, :], j_bg]  # (h, L)
+    j_bg = jnp.argmax(corr_bg, axis=-1)                  # (h, K)
+    d_bg = ms.distance[rows[None, :], j_bg]              # (h, K)
     w = sg(jnp.exp(-d_bg))
     per_row = w * (-jnp.log(jnp.maximum(p_bg, 0.0) + eps) + jnp.log(jnp.maximum(p_in, 0.0) + eps))
-    return (per_row * mask_inpaint[None, :]).sum() / (mask_inpaint.sum() * h + 1e-8)
+    return (per_row * row_mask[None, :]).sum() / (ms.inpaint.sum() * h + 1e-8)
 
 
 def interpolate_from_mask(
@@ -217,21 +217,25 @@ def smooth_attention_features(features: jnp.ndarray) -> jnp.ndarray:
 def amodal_loss(
     edit_out: jnp.ndarray,
     replace_out: jnp.ndarray,
-    mask_edit: jnp.ndarray,
-    distance: jnp.ndarray,
-    mask_amodal: jnp.ndarray,
+    ms: MaskSet,
     eps: float = 1e-8,
 ) -> jnp.ndarray:
     """Fill the amodal ring by nearest-foreground interpolation and pull the
-    edit output toward it (attention_processors.py:289-305)."""
+    edit output toward it (attention_processors.py:289-305).  Interpolation
+    sources/weights are precomputed per edit (edit_state.build_mask_sets)."""
     e = sg(edit_out).astype(jnp.float32)
-    interp, w = interpolate_from_mask(e, mask_edit, distance)
-    interp = jnp.where((mask_edit > 0.5)[None, :, None], e, interp)
+    feats = e[:, ms.interp_idx, :]                               # (H, L, 4, D)
+    vals = ms.interp_vals
+    interp = (feats * vals[None, :, :, None]).sum(-2) / (
+        vals.sum(-1)[None, :, None] + 1e-12
+    )
+    w = ms.interp_w
+    interp = jnp.where((ms.mask_new_warped > 0.5)[None, :, None], e, interp)
     interp = smooth_attention_features(interp)
     diff = jnp.abs(sg(interp) - replace_out.astype(jnp.float32))
-    wm = (w * mask_amodal)[None, :, None]
+    wm = (w * ms.amodal)[None, :, None]
     h, _, d = replace_out.shape
-    return (diff * wm).sum() / ((w * mask_amodal).sum() * h * d + eps)
+    return (diff * wm).sum() / ((w * ms.amodal).sum() * h * d + eps)
 
 
 def smoothness_loss(replace_out: jnp.ndarray) -> jnp.ndarray:
@@ -341,10 +345,10 @@ def _editor_stream(
         w = state.weights_cross if is_cross else state.weights_self
         sim = background_preservation_loss(edit_out, replace_out, ms.background)
         movement = object_placement_loss(edit_out, replace_out, ms.mask_new_warped)
-        removal = removal_loss(replace_probs, base_probs, ms.inpaint, ms.background, ms.distance)
+        removal = removal_loss(replace_probs, base_probs, ms)
         smooth = smoothness_loss(replace_out)
         if l >= state.amodal_min_seq:
-            amodal = amodal_loss(edit_out, replace_out, ms.mask_new_warped, ms.distance, ms.amodal)
+            amodal = amodal_loss(edit_out, replace_out, ms)
         else:
             # amodal loss is zeroed at 32^2 (attention_processors.py:479-480)
             amodal = jnp.float32(0.0)
@@ -398,7 +402,7 @@ def _remover_stream(
     if state.compute_losses and l >= state.loss_min_seq:
         w = state.weights_cross if is_cross else state.weights_self
         sim = background_preservation_loss(edit_out, replace_out, ms.background)
-        removal = removal_loss(replace_probs, base_probs, ms.inpaint, ms.background, ms.distance)
+        removal = removal_loss(replace_probs, base_probs, ms)
         smooth = smoothness_loss(replace_out)
         loss = w["sim"] * sim + w["removal"] * removal + w["smoothness"] * smooth
         logs = _branch_logs(is_cross, sim=sim, removal=removal, smoothness=smooth)

@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Any, Dict, Mapping, Optional
 
 import flax.struct
+import jax
 import jax.numpy as jnp
 
 from geodiffuser_tpu.config import EditConfig
@@ -62,6 +63,13 @@ class MaskSet(flax.struct.PyTreeNode):
     mask_new_warped_2d: jnp.ndarray          # (res, res) for query warping
     t_coords: jnp.ndarray                    # (res, res, 3)
     distance: Optional[jnp.ndarray] = None   # (seq, seq), loss resolutions only
+    # Static-per-edit precomputations for the loss layers (amortize work the
+    # reference redoes inside every attention layer of every optimize step):
+    interp_idx: Optional[jnp.ndarray] = None   # (seq, 4) amodal top-4 sources
+    interp_vals: Optional[jnp.ndarray] = None  # (seq, 4) inverse distances
+    interp_w: Optional[jnp.ndarray] = None     # (seq,) confidence weights
+    inpaint_rows: Optional[jnp.ndarray] = None     # (seq//4,) removal-loss rows
+    inpaint_row_mask: Optional[jnp.ndarray] = None  # (seq//4,)
 
 
 class EditState(flax.struct.PyTreeNode):
@@ -177,16 +185,40 @@ def build_mask_sets(
             background = image_ops.binarize(1.0 - inpaint)
             m_new = inpaint
 
-        dist = coordinate_distance_grid(res) if seq >= loss_min_seq(max(resolutions)) else None
+        is_loss_res = seq >= loss_min_seq(max(resolutions))
+        dist = coordinate_distance_grid(res) if is_loss_res else None
+        interp_idx = interp_vals = interp_w = rows = row_mask = None
+        inpaint_flat = inpaint.reshape(-1)
+        if is_loss_res:
+            # amodal interpolation sources (attention_sharing.py:67-105):
+            # depend only on (distance, warped mask) -> once per edit
+            fg = m_new.reshape(-1)
+            d_new = dist * (512.0 / 2.0) + 1e5 * (1.0 - (fg > 0.5).astype(jnp.float32))[None, :]
+            inv = 1.0 / (d_new + 1e-4)
+            interp_vals, interp_idx = jax.lax.top_k(inv, 4)
+            interp_w = jnp.exp(-(1.0 / jnp.max(interp_vals, axis=-1)) / 5.0)
+            # removal-loss row subset: the reference gathers only inpaint
+            # rows (data-dependent, attention_processors.py:250); we take a
+            # static seq//4 budget of them (typical inpaint regions are far
+            # smaller; overflow rows are dropped and the loss normalization
+            # keeps the full mask sum)
+            k = seq // 4
+            row_vals, rows = jax.lax.top_k(inpaint_flat, k)
+            row_mask = (row_vals > 0.5).astype(jnp.float32)
         out[res] = MaskSet(
             mask_warp=m_warp.reshape(-1),
             mask_new_warped=m_new.reshape(-1),
             amodal=am.reshape(-1),
-            inpaint=inpaint.reshape(-1),
+            inpaint=inpaint_flat,
             background=background.reshape(-1),
             mask_new_warped_2d=m_new.reshape(res, res),
             t_coords=tc,
             distance=dist,
+            interp_idx=interp_idx,
+            interp_vals=interp_vals,
+            interp_w=interp_w,
+            inpaint_rows=rows,
+            inpaint_row_mask=row_mask,
         )
     return out
 
