@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--repeats", type=int, default=1)
     ap.add_argument("--edit-type", default="geometry_editor")
+    ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--prompt", default="benchmark scene")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -58,7 +60,8 @@ def main():
 
     # bf16 params for inference (the reference runs fp16 weights,
     # diffusion.py:107); the UNet is frozen so no fp32 master copy is needed.
-    mcfg = ModelConfig(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    mcfg = ModelConfig(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                       remat=not args.no_remat)
     ecfg = EditConfig(num_ddim_steps=args.steps, edit_type=args.edit_type)
 
     pipe = Pipeline.create(mcfg, image_size=args.size)
@@ -68,7 +71,7 @@ def main():
 
     # Warmup edit: compiles the 4 device programs.
     t0 = time.time()
-    res = sess.run(image, depth, mask, transform, prompt="benchmark scene")
+    res = sess.run(image, depth, mask, transform, prompt=args.prompt)
     warmup = time.time() - t0
     if args.verbose:
         print(f"# warmup (incl. compile): {warmup:.1f}s  timings={res.timings}", file=sys.stderr)
@@ -76,7 +79,7 @@ def main():
     times = []
     for _ in range(args.repeats):
         t0 = time.time()
-        res = sess.run(image, depth, mask, transform, prompt="benchmark scene")
+        res = sess.run(image, depth, mask, transform, prompt=args.prompt)
         times.append(time.time() - t0)
         if args.verbose:
             print(f"# edit: {times[-1]:.2f}s  timings={res.timings}", file=sys.stderr)

@@ -74,6 +74,13 @@ class EditSession:
                 num_steps=cfg.num_ddim_steps,
             )
         )
+        self._invert_cfg_free = jax.jit(
+            lambda params, latent, cu, cc: inversion.ddim_invert(
+                pipeline, params, latent, cu, cc,
+                guidance_scale=cfg.guidance_scale,
+                num_steps=cfg.num_ddim_steps, cfg_free=True,
+            )
+        )
         self._optimize_step = jax.jit(self._optimize_step_impl)
         self._cfg_step = jax.jit(self._cfg_step_impl)
         self._preprocess = jax.jit(self._preprocess_impl)
@@ -212,7 +219,8 @@ class EditSession:
         # --- DDIM inversion (compiled scan; CFG with the edit guidance scale,
         # inversion.py:174-187)
         t_inv = time.time()
-        all_latents, _ = self._invert(
+        invert_fn = self._invert_cfg_free if prompt == cfg.uncond_text else self._invert
+        all_latents, _ = invert_fn(
             self.pipeline.params["unet"], latent0, ctx_uncond, ctx_cond
         )
         all_latents = jax.block_until_ready(all_latents)

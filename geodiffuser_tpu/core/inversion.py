@@ -28,6 +28,7 @@ def ddim_invert(
     context_cond: jnp.ndarray,    # (S0, 77, D)
     guidance_scale: float,
     num_steps: int,
+    cfg_free: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (all_latents (num_steps+1, S0, h, w, 4), all_noise_cond
     (num_steps, S0, h, w, 4)).
@@ -37,17 +38,24 @@ def ddim_invert(
     reference's `all_latent` list (inversion.py:138-193).
 
     Guidance is applied *during inversion* (the reference's choice,
-    inversion.py:174-187) with the caller's guidance_scale.
+    inversion.py:174-187) with the caller's guidance_scale.  cfg_free=True
+    is the exact fast path for prompt == uncond_text (the batch driver's
+    default): cond == uncond makes the guided eps equal the plain eps, so
+    the doubled batch is skipped.
     """
     timesteps = jnp.asarray(sched.inverse_timesteps(num_steps, pipeline.schedule.num_train_timesteps))
     context = jnp.concatenate([context_uncond, context_cond], axis=0)  # (2*S0, 77, D)
     s0 = latent.shape[0]
 
     def step(x, t):
-        batched = jnp.concatenate([x, x], axis=0)
-        eps = pipeline.unet.apply(params_unet, batched, t, context)
-        eps_u, eps_c = eps[:s0], eps[s0:]
-        eps_g = eps_u + guidance_scale * (eps_c - eps_u)
+        if cfg_free:
+            eps_c = pipeline.unet.apply(params_unet, x, t, context[s0:])
+            eps_g = eps_c
+        else:
+            batched = jnp.concatenate([x, x], axis=0)
+            eps = pipeline.unet.apply(params_unet, batched, t, context)
+            eps_u, eps_c = eps[:s0], eps[s0:]
+            eps_g = eps_u + guidance_scale * (eps_c - eps_u)
         x_next = sched.ddim_inverse_step(pipeline.schedule, eps_g, t, x, num_steps)
         return x_next, (x_next, eps_c)
 
