@@ -83,6 +83,7 @@ class EditSession:
         )
         self._optimize_step = jax.jit(self._optimize_step_impl)
         self._cfg_step = jax.jit(self._cfg_step_impl)
+        self._cfg_tail = jax.jit(self._cfg_tail_impl)
         self._preprocess = jax.jit(self._preprocess_impl)
 
     # ------------------------------------------------------------------ setup
@@ -184,6 +185,23 @@ class EditSession:
             new_latents = jnp.concatenate([new_latents[:1], edit_lat[None]], axis=0)
         return new_latents
 
+    def _cfg_tail_impl(
+        self, params_unet, latents2, context4, masks, ts, is_, radii, taus, pinned_stack, weights,
+    ):
+        """All trailing CFG-only steps (past the optimize and latent-replace
+        windows) fused into one lax.scan — one dispatch for the whole tail."""
+
+        def body(lat, xs):
+            t, i, r, tau, pinned = xs
+            lat = self._cfg_step_impl(
+                params_unet, lat, context4, t, masks, i, weights, r, tau,
+                pinned, jnp.bool_(False),
+            )
+            return lat, None
+
+        out, _ = jax.lax.scan(body, latents2, (ts, is_, radii, taus, pinned_stack))
+        return out
+
     # ------------------------------------------------------------------- run
     def run(
         self,
@@ -223,7 +241,7 @@ class EditSession:
         all_latents, _ = invert_fn(
             self.pipeline.params["unet"], latent0, ctx_uncond, ctx_cond
         )
-        all_latents = jax.block_until_ready(all_latents)
+        _ = np.asarray(all_latents[0, 0, 0, 0, :1])  # axon: fetch forces sync
         timings["inversion"] = time.time() - t_inv
 
         # --- optional null-text optimization (perform_inversion,
@@ -251,26 +269,43 @@ class EditSession:
             optimization.init_sgd_state(latents2[1], context4[3]) if cfg.use_optimizer else None
         )
         lr_first = optimization.effective_lr(cfg.lr, 0, cfg.skip_optim_steps, n)
-        radius = float(cfg.splat.radius)
-        tau = float(cfg.splat.tau)
         loss_log: Dict[int, Dict[str, float]] = {}
         timesteps = sched.timesteps(n, self.pipeline.schedule.num_train_timesteps)
+
+        # splat annealing schedules, reference semantics incl. the int()
+        # radius floor (editor.py:154-156), precomputed for the whole loop
+        radius_sched, tau_sched = [], []
+        r_, tau_ = float(cfg.splat.radius), float(cfg.splat.tau)
+        for _ in range(n):
+            r_ = max(1, int(r_ * cfg.splat.radius_decay))
+            tau_ = max(tau_ * cfg.splat.tau_decay, cfg.splat.tau_floor)
+            radius_sched.append(r_)
+            tau_sched.append(tau_)
 
         def weight_arrays(w):
             return {b: {k_: np.float32(v_) for k_, v_ in t_.items()} for b, t_ in w.items()}
 
+        # first step past both the optimize and latent-replace windows: the
+        # remaining CFG-only steps run as one fused scan (no null-text
+        # per-step context swaps in that regime)
+        last_opt = max(
+            [i for i in range(n) if i < optimize_frac * n and i % cfg.skip_optim_steps == 0]
+            + [-1]
+        )
+        tail_start = max(last_opt + 1, int(np.ceil(cfg.latent_replace * n)))
+        if uncond_per_step is not None:
+            tail_start = n  # per-step uncond embeddings need the host loop
+
         for i, t in enumerate(timesteps):
+            if i == tail_start:
+                break
             if uncond_per_step is not None:
                 # per-step optimized uncond embeddings for both uncond streams
                 # (editor.py:165-168)
                 u = uncond_per_step[i]
                 context4 = context4.at[0].set(u[0]).at[1].set(u[0])
-            # splat annealing, reference semantics incl. the int() floor on
-            # radius (editor.py:154-156)
-            radius = max(1, int(radius * cfg.splat.radius_decay))
-            tau = max(tau * cfg.splat.tau_decay, cfg.splat.tau_floor)
             wa = weight_arrays(weights)
-            r_j, tau_j = np.float32(radius), np.float32(tau)
+            r_j, tau_j = np.float32(radius_sched[i]), np.float32(tau_sched[i])
             t_j = np.int32(t)
             i_j = np.int32(i)
 
@@ -313,7 +348,23 @@ class EditSession:
                 masks, i_j, wa, r_j, tau_j, pinned, do_replace,
             )
 
-        latents2 = jax.block_until_ready(latents2)
+        if tail_start < n:
+            k = n - tail_start
+            idx = jnp.asarray([n - 1 - i for i in range(tail_start, n)])
+            pinned_stack = all_latents[idx]
+            latents2 = self._cfg_tail(
+                self.pipeline.params["unet"], latents2, context4, masks,
+                np.asarray(timesteps[tail_start:], np.int32),
+                np.arange(tail_start, n, dtype=np.int32),
+                np.asarray(radius_sched[tail_start:], np.float32),
+                np.asarray(tau_sched[tail_start:], np.float32),
+                pinned_stack,
+                weight_arrays(weights),
+            )
+
+        # force a host fetch: on the axon platform block_until_ready returns
+        # before execution finishes; a tiny device_get drains the FIFO queue
+        _ = np.asarray(latents2[0, 0, 0, :1])
         timings["edit_loop"] = time.time() - t_loop
 
         # --- decode + histogram-matching post-process (editor.py:660-694)

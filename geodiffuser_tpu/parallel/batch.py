@@ -121,7 +121,7 @@ class ShardedEditSession(EditSession):
             self.pipeline.params["unet"], latent0,
             ctx_uncond[:, None], ctx_cond[:, None],
         )  # (E, T+1, 1, h, w, 4)
-        all_latents = jax.block_until_ready(all_latents)
+        _ = np.asarray(all_latents[0, 0, 0, 0, :1])  # axon: fetch forces sync
         timings["inversion"] = time.time() - t_inv
 
         n = cfg.num_ddim_steps
@@ -200,7 +200,7 @@ class ShardedEditSession(EditSession):
                 masks, i_j, wa, r_j, tau_j, pinned, do_replace,
             )
 
-        latents2 = jax.block_until_ready(latents2)
+        _ = np.asarray(latents2[0, 0, 0, 0, :1])  # axon: fetch forces sync
         timings["edit_loop"] = time.time() - t_loop
 
         t_post = time.time()
