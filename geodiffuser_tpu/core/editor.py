@@ -85,6 +85,11 @@ class EditSession:
         self._cfg_step = jax.jit(self._cfg_step_impl)
         self._cfg_tail = jax.jit(self._cfg_tail_impl)
         self._preprocess = jax.jit(self._preprocess_impl)
+        self._warp_mats = jax.jit(
+            lambda masks, r, tau: edit_state.build_warp_matrices(
+                masks, r, tau, cfg.splat.z_beta
+            )
+        )
 
     # ------------------------------------------------------------------ setup
     def _preprocess_impl(self, image, depth, image_mask, transform):
@@ -106,8 +111,12 @@ class EditSession:
         )
         return tf, masks
 
-    def _state(self, masks, i, weights, radius, tau, use_cfg, compute_losses):
-        warp_mats = edit_state.build_warp_matrices(masks, radius, tau, self.cfg.splat.z_beta)
+    def _state(self, masks, i, weights, radius, tau, use_cfg, compute_losses,
+               warp_mats=None):
+        if warp_mats is None:
+            warp_mats = edit_state.build_warp_matrices(
+                masks, radius, tau, self.cfg.splat.z_beta
+            )
         return edit_state.make_edit_state(
             self.cfg, masks, cur_step=i, use_cfg=use_cfg, compute_losses=compute_losses,
             weights=weights, splat_radius=radius, splat_tau=tau, warp_mats=warp_mats,
@@ -116,11 +125,12 @@ class EditSession:
     # --------------------------------------------------------------- optimize
     def _optimize_step_impl(
         self, params_unet, latents2, context4, t, masks, i, weights, radius, tau,
-        lr_eff, sgd_state,
+        lr_eff, sgd_state, warp_mats=None,
     ):
         """Grad-enabled cond-only pass + masked update (editor.py:181-336)."""
         cfg = self.cfg
-        state = self._state(masks, i, weights, radius, tau, use_cfg=False, compute_losses=True)
+        state = self._state(masks, i, weights, radius, tau, use_cfg=False,
+                            compute_losses=True, warp_mats=warp_mats)
         latent_base = jax.lax.stop_gradient(latents2[0])
         ctx_base = jax.lax.stop_gradient(context4[2])
 
@@ -158,12 +168,13 @@ class EditSession:
     # -------------------------------------------------------------------- cfg
     def _cfg_step_impl(
         self, params_unet, latents2, context4, t, masks, i, weights, radius, tau,
-        pinned_base, do_replace,
+        pinned_base, do_replace, warp_mats=None,
     ):
         """No-grad CFG denoise + pinning + latent warp-replace
         (editor.py:339-403)."""
         cfg = self.cfg
-        state = self._state(masks, i, weights, radius, tau, use_cfg=True, compute_losses=False)
+        state = self._state(masks, i, weights, radius, tau, use_cfg=True,
+                            compute_losses=False, warp_mats=warp_mats)
         latents_in = jnp.concatenate([latents2, latents2], axis=0)
         eps = self.pipeline.unet.apply(params_unet, latents_in, t, context4, state)
         eps_u, eps_c = eps[:2], eps[2:]
@@ -314,6 +325,9 @@ class EditSession:
                 and i % cfg.skip_optim_steps == 0
                 and i >= cfg.fast_start_steps * n
             )
+            # the warp operator depends only on (masks, radius, tau): build
+            # once per step and share between the optimize and CFG programs
+            wm = self._warp_mats(masks, r_j, tau_j)
             if do_optimize:
                 lr_eff = (
                     np.float32(lr_first)
@@ -322,7 +336,7 @@ class EditSession:
                 )
                 latents2, context4, sgd_state, log_vec = self._optimize_step(
                     self.pipeline.params["unet"], latents2, context4, t_j,
-                    masks, i_j, wa, r_j, tau_j, lr_eff, sgd_state,
+                    masks, i_j, wa, r_j, tau_j, lr_eff, sgd_state, wm,
                 )
                 log_np = np.asarray(log_vec)  # one fetch
                 log_keys = sorted(edit_attention.zero_logs().keys())
@@ -345,7 +359,7 @@ class EditSession:
             do_replace = np.bool_(i < cfg.latent_replace * n)
             latents2 = self._cfg_step(
                 self.pipeline.params["unet"], latents2, context4, t_j,
-                masks, i_j, wa, r_j, tau_j, pinned, do_replace,
+                masks, i_j, wa, r_j, tau_j, pinned, do_replace, wm,
             )
 
         if tail_start < n:

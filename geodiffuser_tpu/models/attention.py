@@ -153,7 +153,11 @@ class Transformer2DModel(nn.Module):
         # jax.checkpoint on the block: the optimize pass differentiates
         # through the full UNet; recomputing attention in the backward pass
         # trades FLOPs for the HBM that 64^2 attention maps would pin.
-        block_cls = nn.remat(BasicTransformerBlock) if self.remat else BasicTransformerBlock
+        # Selective: only the high-resolution blocks (seq >= 32^2) hold big
+        # maps; low-res blocks keep their activations (cheap) and skip the
+        # recompute.
+        use_remat = self.remat and (h * w >= 1024)
+        block_cls = nn.remat(BasicTransformerBlock) if use_remat else BasicTransformerBlock
         for i in range(self.num_layers):
             y = block_cls(
                 self.in_channels, self.heads, self.cross_attention_dim,
