@@ -145,7 +145,7 @@ def object_placement_loss(
 
 
 def removal_loss(
-    replace_probs: jnp.ndarray,
+    probs_rows: jnp.ndarray,
     base_probs: jnp.ndarray,
     ms: MaskSet,
     eps: float = 1e-4,
@@ -157,17 +157,16 @@ def removal_loss(
     (distance-weighted) and minimize the best inpaint match
     (attention_processors.py:248-280).
 
-    Static-shape reformulation: rows are a static seq//4 budget of inpaint
-    indices precomputed per edit (edit_state.build_mask_sets), so the big
-    correlation matmul shrinks 4x vs all-rows; normalization keeps the full
-    inpaint mask sum (exact parity while the budget holds, documented
+    Static-shape reformulation: probs_rows holds only a static seq//4 budget
+    of inpaint rows (precomputed per edit, edit_state.build_mask_sets) — the
+    full edit-attention map is never materialized; normalization keeps the
+    full inpaint mask sum (exact parity while the budget holds, documented
     truncation otherwise).
     """
-    h = replace_probs.shape[0]
+    h = probs_rows.shape[0]
     rows, row_mask = ms.inpaint_rows, ms.inpaint_row_mask
-    rp = replace_probs[:, rows, :]                       # (h, K, Lk)
     corr = jnp.einsum(
-        "hik,hjk->hij", rp, sg(base_probs), preferred_element_type=jnp.float32
+        "hik,hjk->hij", probs_rows, sg(base_probs), preferred_element_type=jnp.float32
     ).astype(jnp.float32)                                # (h, K, L)
     neg = -1e9
     corr_in = jnp.where(ms.inpaint[None, None, :] > 0.5, corr, neg)
@@ -319,24 +318,26 @@ def _editor_stream(
     # Live edit-stream keys: self uses base keys, cross uses edit keys
     # (attention_processors.py:432,555); values always from the base stream.
     k_r = k[e_i] if is_cross else k_b
-    need_maps = state.compute_losses
-    if not need_maps:
-        # CFG pass: no probabilities needed anywhere -> flash kernels
+    # Outputs go through flash in BOTH passes (the custom VJP covers the
+    # optimize pass); only the removal loss needs probabilities, and only for
+    # its static inpaint-row budget — the full edit map is never built.
+    if state.apply_constraints and not is_cross:
+        logits = jnp.einsum(
+            "hid,hjd->hij", q_e, k_r, preferred_element_type=jnp.float32
+        ) * scale
+        logits = logits + _constraint_bias(ms, logits.shape[-1])[None]
+        replace_probs_full = jax.nn.softmax(logits, axis=-1).astype(jnp.bfloat16)
+        replace_out = attn_out(replace_probs_full, v_b)
+        probs_rows = replace_probs_full[:, ms.inpaint_rows] if state.compute_losses else None
+        edit_out = sg(fast_attention(q_eb, k_b, v_b, scale, allow_flash=True))
+    else:
         edit_out = sg(fast_attention(q_eb, k_b, v_b, scale, allow_flash=True))
         replace_out = fast_attention(q_e, k_r, v_b, scale, allow_flash=True)
-        replace_probs = None
-    else:
-        edit_probs = attn_probs(q_eb, k_b, scale, out_dtype=jnp.bfloat16)
-        edit_out = sg(attn_out(edit_probs, v_b))
-        if state.apply_constraints and not is_cross:
-            logits = jnp.einsum(
-                "hid,hjd->hij", q_e, k_r, preferred_element_type=jnp.float32
-            ) * scale
-            logits = logits + _constraint_bias(ms, logits.shape[-1])[None]
-            replace_probs = jax.nn.softmax(logits, axis=-1).astype(jnp.bfloat16)
-        else:
-            replace_probs = attn_probs(q_e, k_r, scale, out_dtype=jnp.bfloat16)
-        replace_out = attn_out(replace_probs, v_b)
+        probs_rows = None
+        if state.compute_losses and q.shape[2] >= state.loss_min_seq:
+            probs_rows = attn_probs(
+                q_e[:, ms.inpaint_rows], k_r, scale, out_dtype=jnp.bfloat16
+            )
 
     loss = jnp.float32(0.0)
     logs = zero_logs()
@@ -345,7 +346,7 @@ def _editor_stream(
         w = state.weights_cross if is_cross else state.weights_self
         sim = background_preservation_loss(edit_out, replace_out, ms.background)
         movement = object_placement_loss(edit_out, replace_out, ms.mask_new_warped)
-        removal = removal_loss(replace_probs, base_probs, ms)
+        removal = removal_loss(probs_rows, base_probs, ms)
         smooth = smoothness_loss(replace_out)
         if l >= state.amodal_min_seq:
             amodal = amodal_loss(edit_out, replace_out, ms)
@@ -389,12 +390,12 @@ def _remover_stream(
 
     edit_out = sg(base_out)  # the base stream's vanilla output
 
-    if state.compute_losses:
-        replace_probs = attn_probs(q_e, k_b, scale, out_dtype=jnp.bfloat16)
-        replace_out = attn_out(replace_probs, v_b)
-    else:
-        replace_probs = None
-        replace_out = fast_attention(q_e, k_b, v_b, scale, allow_flash=True)
+    replace_out = fast_attention(q_e, k_b, v_b, scale, allow_flash=True)
+    probs_rows = None
+    if state.compute_losses and q.shape[2] >= state.loss_min_seq:
+        probs_rows = attn_probs(
+            q_e[:, ms.inpaint_rows], k_b, scale, out_dtype=jnp.bfloat16
+        )
 
     loss = jnp.float32(0.0)
     logs = zero_logs()
@@ -402,7 +403,7 @@ def _remover_stream(
     if state.compute_losses and l >= state.loss_min_seq:
         w = state.weights_cross if is_cross else state.weights_self
         sim = background_preservation_loss(edit_out, replace_out, ms.background)
-        removal = removal_loss(replace_probs, base_probs, ms)
+        removal = removal_loss(probs_rows, base_probs, ms)
         smooth = smoothness_loss(replace_out)
         loss = w["sim"] * sim + w["removal"] * removal + w["smoothness"] * smooth
         logs = _branch_logs(is_cross, sim=sim, removal=removal, smoothness=smooth)
