@@ -198,15 +198,20 @@ class EditSession:
 
     def _cfg_tail_impl(
         self, params_unet, latents2, context4, masks, ts, is_, radii, taus, pinned_stack, weights,
+        warp_mats,
     ):
         """All trailing CFG-only steps (past the optimize and latent-replace
-        windows) fused into one lax.scan — one dispatch for the whole tail."""
+        windows) fused into one lax.scan — one dispatch for the whole tail.
+
+        The splat annealing has hit its floors by the tail (radius int-floors
+        to 1 after step 0, tau reaches tau_floor by ~step 11 at defaults), so
+        one warp operator serves every tail step."""
 
         def body(lat, xs):
             t, i, r, tau, pinned = xs
             lat = self._cfg_step_impl(
                 params_unet, lat, context4, t, masks, i, weights, r, tau,
-                pinned, jnp.bool_(False),
+                pinned, jnp.bool_(False), warp_mats,
             )
             return lat, None
 
@@ -296,6 +301,7 @@ class EditSession:
         def weight_arrays(w):
             return {b: {k_: np.float32(v_) for k_, v_ in t_.items()} for b, t_ in w.items()}
 
+        wm_cache: Dict = {}
         # first step past both the optimize and latent-replace windows: the
         # remaining CFG-only steps run as one fused scan (no null-text
         # per-step context swaps in that regime)
@@ -326,8 +332,12 @@ class EditSession:
                 and i >= cfg.fast_start_steps * n
             )
             # the warp operator depends only on (masks, radius, tau): build
-            # once per step and share between the optimize and CFG programs
-            wm = self._warp_mats(masks, r_j, tau_j)
+            # once per DISTINCT (radius, tau) — the annealing floors make the
+            # schedule constant from ~step 11 on — and share across programs
+            wm_key = (radius_sched[i], round(tau_sched[i], 6))
+            if wm_key not in wm_cache:
+                wm_cache[wm_key] = self._warp_mats(masks, r_j, tau_j)
+            wm = wm_cache[wm_key]
             if do_optimize:
                 lr_eff = (
                     np.float32(lr_first)
@@ -366,6 +376,12 @@ class EditSession:
             k = n - tail_start
             idx = jnp.asarray([n - 1 - i for i in range(tail_start, n)])
             pinned_stack = all_latents[idx]
+            wm_key = (radius_sched[tail_start], round(tau_sched[tail_start], 6))
+            if wm_key not in wm_cache:
+                wm_cache[wm_key] = self._warp_mats(
+                    masks, np.float32(radius_sched[tail_start]),
+                    np.float32(tau_sched[tail_start]),
+                )
             latents2 = self._cfg_tail(
                 self.pipeline.params["unet"], latents2, context4, masks,
                 np.asarray(timesteps[tail_start:], np.int32),
@@ -374,6 +390,7 @@ class EditSession:
                 np.asarray(tau_sched[tail_start:], np.float32),
                 pinned_stack,
                 weight_arrays(weights),
+                wm_cache[wm_key],
             )
 
         # force a host fetch: on the axon platform block_until_ready returns
