@@ -25,8 +25,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import time
-from functools import partial
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,8 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from functools import partial
-from typing import Any, Dict, List, Optional
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +28,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from geodiffuser_tpu.config import EditConfig
 from geodiffuser_tpu.core import edit_attention, edit_state, inversion, optimization
 from geodiffuser_tpu.core import scheduler as sched
-from geodiffuser_tpu.core.editor import EditSession, _attention_resolutions
+from geodiffuser_tpu.core.editor import EditSession
 from geodiffuser_tpu.core.pipeline import Pipeline
 from geodiffuser_tpu.ops import image as image_ops
 from geodiffuser_tpu.parallel import sharding as sh
