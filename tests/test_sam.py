@@ -25,16 +25,23 @@ def torch_sam():
 
     # the vendored package __init__ pulls in torchvision (only for image
     # resizing in SamPredictor, unused here); stub it out
+    import importlib.machinery
     import types
 
+    def _mk(name):
+        m = types.ModuleType(name)
+        # transformers probes module.__spec__ when checking availability
+        m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        return m
+
     if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tvt = types.ModuleType("torchvision.transforms")
-        tvf = types.ModuleType("torchvision.transforms.functional")
+        tv = _mk("torchvision")
+        tvt = _mk("torchvision.transforms")
+        tvf = _mk("torchvision.transforms.functional")
         tvf.resize = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("stub"))
         tvf.to_pil_image = tvf.resize
-        tvo = types.ModuleType("torchvision.ops")
-        tvob = types.ModuleType("torchvision.ops.boxes")
+        tvo = _mk("torchvision.ops")
+        tvob = _mk("torchvision.ops.boxes")
         tvob.batched_nms = tvf.resize
         tvob.box_area = tvf.resize
         tv.transforms = tvt
