@@ -153,9 +153,12 @@ class ModelConfig:
     # numerics
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
-    # rematerialize transformer blocks in the backward pass (the optimize
-    # step differentiates through the whole UNet; without remat the 64^2
-    # attention maps of every layer stay live in HBM)
+    # Rematerialize the high-resolution transformer blocks in the backward
+    # pass (the optimize step differentiates through the whole UNet).
+    # Measured on v5e (15.75G HBM) at 512^2: the geometry_editor optimize
+    # program fits without remat (~5% faster end to end); the
+    # geometry_remover program does NOT (17.0G > 15.75G).  True is the safe
+    # default; bench.py uses --no-remat for the editor-only headline.
     remat: bool = True
 
     @staticmethod
