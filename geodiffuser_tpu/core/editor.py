@@ -462,8 +462,18 @@ def perform_geometric_edit(
     """
     cfg = cfg or EditConfig()
     if session is None:
-        session = EditSession(pipeline, cfg)
+        # Re-creating a session re-traces the grad-through-UNet program
+        # (minutes of host time even with the backend compile cached), so
+        # sessions are memoized per (pipeline, config).
+        key = (id(pipeline), repr(cfg))
+        session = _SESSION_CACHE.get(key)
+        if session is None:
+            session = EditSession(pipeline, cfg)
+            _SESSION_CACHE[key] = session
     return session.run(image, depth, image_mask, transform, prompt=prompt, progress=progress)
+
+
+_SESSION_CACHE: Dict = {}
 
 
 def perform_stitch(
