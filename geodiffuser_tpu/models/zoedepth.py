@@ -1,0 +1,280 @@
+"""ZoeDepth-style metric depth (metric-bins head over a DPT core) in flax.
+
+Rebuilds the reference's optional metric-depth backend
+(get_monocular_ZoeDepth, depth_predictor.py:277-319; vendored model code
+under zoedepth/models/): a relative-depth DPT core plus the metric-bins
+module — seed bin regressor, per-scale bin-attractor refinement, and a
+conditional log-binomial output distribution whose expectation over bin
+centers is the metric depth (zoedepth/models/zoedepth/zoedepth_v1.py:124-215).
+
+Scope notes:
+  * the single-metric-head ZoeDepth (ZoeD-N architecture) over OUR ViT-L/16
+    DPT core (models/midas_dpt.py).  The released ZoeD-M12-NK checkpoint
+    pairs a BEiT-384 backbone with a two-head latitude router
+    (zoedepth_nk) — loading it 1:1 needs that backbone (future work); the
+    metric-bins head here is layer-for-layer the same and parity-tested
+    against the vendored torch layers.
+  * bin_centers_type='softplus' (the shipped default) => unnormed seed
+    regressor + unnormed attractors.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from geodiffuser_tpu.models.depth_anything import _resize
+from geodiffuser_tpu.models.midas_dpt import DPTConfig, DPTLarge, FeatureFusionBlock, ViTBlock
+
+
+def exp_attractor(dx: jnp.ndarray, alpha: float = 300.0, gamma: int = 2) -> jnp.ndarray:
+    """dc = exp(-alpha*|dx|^gamma) * dx (zoedepth layers/attractor.py)."""
+    return jnp.exp(-alpha * jnp.abs(dx) ** gamma) * dx
+
+
+def inv_attractor(dx: jnp.ndarray, alpha: float = 300.0, gamma: int = 2) -> jnp.ndarray:
+    """dc = dx / (1 + alpha*dx^gamma)."""
+    return dx / (1.0 + alpha * dx ** gamma)
+
+
+class SeedBinRegressorUnnormed(nn.Module):
+    """1x1-conv MLP -> softplus bin centers (unbounded)."""
+
+    n_bins: int = 64
+    mlp_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.mlp_dim, (1, 1), name="net_0")(x)
+        h = nn.relu(h)
+        h = nn.Conv(self.n_bins, (1, 1), name="net_2")(h)
+        b = jax.nn.softplus(h)
+        return b, b
+
+
+class Projector(nn.Module):
+    out_features: int
+    mlp_dim: int = 128
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.mlp_dim, (1, 1), name="net_0")(x)
+        h = nn.relu(h)
+        return nn.Conv(self.out_features, (1, 1), name="net_2")(h)
+
+
+class AttractorLayerUnnormed(nn.Module):
+    """Shift bin centers toward predicted attractor points
+    (zoedepth layers/attractor.py:138-208)."""
+
+    n_bins: int
+    n_attractors: int = 16
+    mlp_dim: int = 128
+    alpha: float = 300.0
+    gamma: int = 2
+    kind: str = "sum"
+    attractor_type: str = "exp"
+    # Reference defect replicated: the torch layers call the jit-scripted
+    # attractor functions WITHOUT forwarding their configured alpha/gamma
+    # (attractor.py:196-199), so the zoedepth_nk config's attractor_alpha=1000
+    # is silently ignored and the defaults (300, 2) always apply.  Pretrained
+    # checkpoints were trained under that behavior.  Set True to honor the
+    # configured values instead.
+    use_configured_attractor_params: bool = False
+
+    @nn.compact
+    def __call__(self, x, b_prev, prev_b_embedding=None):
+        if prev_b_embedding is not None:
+            prev_b_embedding = _resize(prev_b_embedding, x.shape[1], x.shape[2])
+            x = x + prev_b_embedding
+        h = nn.Conv(self.mlp_dim, (1, 1), name="net_0")(x)
+        h = nn.relu(h)
+        h = nn.Conv(self.n_attractors, (1, 1), name="net_2")(h)
+        a = jax.nn.softplus(h)                       # (B, H, W, A)
+
+        b_centers = _resize(b_prev, x.shape[1], x.shape[2])   # (B, H, W, nbins)
+        dist = exp_attractor if self.attractor_type == "exp" else inv_attractor
+        dx = a[..., :, None] - b_centers[..., None, :]        # (B, H, W, A, nbins)
+        if self.use_configured_attractor_params:
+            delta = dist(dx, self.alpha, self.gamma)
+        else:
+            delta = dist(dx)  # reference behavior: defaults (300, 2) always
+        delta = delta.sum(-2) if self.kind == "sum" else delta.mean(-2)
+        b_new = b_centers + delta
+        return b_new, b_new
+
+
+def log_binom(n, k, eps: float = 1e-7):
+    """log(nCk) via Stirling (zoedepth layers/dist_layers.py:29-33)."""
+    n = n + eps
+    k = k + eps
+    return n * jnp.log(n) - k * jnp.log(k) - (n - k) * jnp.log(n - k + eps)
+
+
+class ConditionalLogBinomial(nn.Module):
+    """p,t from an MLP over [features|condition]; output = softmax over the
+    log-binomial pmf at temperature t (zoedepth layers/dist_layers.py:36-121)."""
+
+    n_classes: int = 64
+    bottleneck_factor: int = 2
+    p_eps: float = 1e-4
+    max_temp: float = 50.0
+    min_temp: float = 1e-7
+
+    @nn.compact
+    def __call__(self, x, cond):
+        c_in = x.shape[-1] + cond.shape[-1]
+        h = nn.Conv(c_in // self.bottleneck_factor, (1, 1), name="mlp_0")(
+            jnp.concatenate([x, cond], axis=-1)
+        )
+        h = nn.gelu(h, approximate=False)
+        pt = jax.nn.softplus(nn.Conv(4, (1, 1), name="mlp_2")(h))
+        p = pt[..., :2] + self.p_eps
+        p = p[..., 0] / (p[..., 0] + p[..., 1])
+        t = pt[..., 2:] + self.p_eps
+        t = t[..., 0] / (t[..., 0] + t[..., 1])
+        t = (self.max_temp - self.min_temp) * t + self.min_temp
+
+        k = self.n_classes
+        k_idx = jnp.arange(k, dtype=jnp.float32)[None, None, None, :]
+        k_minus_1 = jnp.float32(k - 1)
+        eps = 1e-4
+        pc = jnp.clip(p, eps, 1.0)[..., None]
+        one_minus = jnp.clip(1.0 - p, eps, 1.0)[..., None]
+        y = log_binom(k_minus_1, k_idx) + k_idx * jnp.log(pc) + (
+            k - 1 - k_idx
+        ) * jnp.log(one_minus)
+        return jax.nn.softmax(y / t[..., None], axis=-1)   # (B, H, W, K)
+
+
+@dataclasses.dataclass(frozen=True)
+class ZoeDepthConfig:
+    core: DPTConfig = DPTConfig()
+    n_bins: int = 64
+    bin_embedding_dim: int = 128
+    min_depth: float = 1e-3
+    max_depth: float = 10.0
+    n_attractors: Tuple[int, ...] = (16, 8, 4, 1)
+    attractor_alpha: float = 1000.0   # zoedepth_nk config values
+    attractor_gamma: int = 2
+    attractor_kind: str = "mean"
+    attractor_type: str = "inv"
+    min_temp: float = 0.0212
+    max_temp: float = 50.0
+
+    @staticmethod
+    def tiny() -> "ZoeDepthConfig":
+        return ZoeDepthConfig(core=DPTConfig.tiny(), n_bins=8, bin_embedding_dim=16,
+                              n_attractors=(4, 2, 2, 1))
+
+
+class ZoeDepthCore(DPTLarge):
+    """DPT core that also exposes the metric head's taps: the 32-channel
+    pre-output activation, the bottleneck, and the four refinenet outputs
+    (the MidasCore hook set, zoedepth/models/base_models/midas.py)."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        c = self.cfg
+        b, h, w, _ = x.shape
+        ph, pw = h // c.patch_size, w // c.patch_size
+
+        y = nn.Conv(c.embed_dim, (c.patch_size, c.patch_size),
+                    strides=(c.patch_size, c.patch_size), name="patch_embed_proj")(x)
+        y = y.reshape(b, ph * pw, c.embed_dim)
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, c.embed_dim), jnp.float32)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, c.pos_grid * c.pos_grid + 1, c.embed_dim), jnp.float32)
+        pos_cls, pos_patch = pos[:, :1], pos[:, 1:]
+        if (ph, pw) != (c.pos_grid, c.pos_grid):
+            grid = pos_patch.reshape(1, c.pos_grid, c.pos_grid, c.embed_dim)
+            grid = jax.image.resize(grid, (1, ph, pw, c.embed_dim), method="linear")
+            pos_patch = grid.reshape(1, ph * pw, c.embed_dim)
+        y = jnp.concatenate([jnp.tile(cls + pos_cls, (b, 1, 1)), y + pos_patch], axis=1)
+
+        taps: List[jnp.ndarray] = []
+        for i in range(c.depth):
+            y = ViTBlock(c, name=f"blocks_{i}")(y)
+            if i in c.hooks:
+                taps.append(y)
+
+        feats = []
+        for i, t in enumerate(taps):
+            patch_tok, cls_tok = t[:, 1:], t[:, 0]
+            r = jnp.concatenate(
+                [patch_tok, jnp.tile(cls_tok[:, None], (1, patch_tok.shape[1], 1))], axis=-1
+            )
+            z = nn.Dense(c.embed_dim, name=f"readout_{i}")(r)
+            z = nn.gelu(z, approximate=False)
+            z = z.reshape(b, ph, pw, c.embed_dim)
+            z = nn.Conv(c.post_channels[i], (1, 1), name=f"projects_{i}")(z)
+            if i == 0:
+                z = nn.ConvTranspose(c.post_channels[0], (4, 4), strides=(4, 4),
+                                     transpose_kernel=True, name="resize_layers_0")(z)
+            elif i == 1:
+                z = nn.ConvTranspose(c.post_channels[1], (2, 2), strides=(2, 2),
+                                     transpose_kernel=True, name="resize_layers_1")(z)
+            elif i == 3:
+                z = nn.Conv(c.post_channels[3], (3, 3), strides=(2, 2), padding=1,
+                            name="resize_layers_3")(z)
+            feats.append(z)
+
+        rn = [
+            nn.Conv(c.features, (3, 3), padding=1, use_bias=False, name=f"layer{i+1}_rn")(f)
+            for i, f in enumerate(feats)
+        ]
+        p4 = FeatureFusionBlock(c.features, name="refinenet4")(rn[3], size=rn[2].shape[1:3])
+        p3 = FeatureFusionBlock(c.features, name="refinenet3")(p4, rn[2], size=rn[1].shape[1:3])
+        p2 = FeatureFusionBlock(c.features, name="refinenet2")(p3, rn[1], size=rn[0].shape[1:3])
+        p1 = FeatureFusionBlock(c.features, name="refinenet1")(p2, rn[0])
+
+        out = nn.Conv(c.features // 2, (3, 3), padding=1, name="head_conv1")(p1)
+        out = _resize(out, out.shape[1] * 2, out.shape[2] * 2)
+        feat32 = nn.Conv(32, (3, 3), padding=1, name="head_conv2")(out)
+        feat32 = nn.relu(feat32)
+        rel = nn.Conv(1, (1, 1), name="head_conv3")(feat32)
+        rel = nn.relu(rel)[..., 0]
+        return rel, feat32, rn[3], [p4, p3, p2, p1]
+
+
+class ZoeDepth(nn.Module):
+    """(B, H, W, 3) normalized image -> (B, H, W) metric depth."""
+
+    cfg: ZoeDepthConfig = ZoeDepthConfig()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        rel, feat32, btlnck, x_blocks = ZoeDepthCore(c.core, name="core")(x)
+
+        z = nn.Conv(btlnck.shape[-1], (1, 1), name="conv2")(btlnck)
+        _, b_prev = SeedBinRegressorUnnormed(c.n_bins, name="seed_bin_regressor")(z)
+        prev_emb = Projector(c.bin_embedding_dim, name="seed_projector")(z)
+
+        b_centers = b_prev
+        for i, xb in enumerate(x_blocks):
+            emb = Projector(c.bin_embedding_dim, name=f"projectors_{i}")(xb)
+            b, b_centers = AttractorLayerUnnormed(
+                c.n_bins, n_attractors=c.n_attractors[i],
+                alpha=c.attractor_alpha, gamma=c.attractor_gamma,
+                kind=c.attractor_kind, attractor_type=c.attractor_type,
+                name=f"attractors_{i}",
+            )(emb, b_prev, prev_emb)
+            b_prev, prev_emb = b, emb
+
+        rel_cond = _resize(rel[..., None], feat32.shape[1], feat32.shape[2])
+        last = jnp.concatenate([feat32, rel_cond], axis=-1)
+        emb_up = _resize(prev_emb, last.shape[1], last.shape[2])
+        probs = ConditionalLogBinomial(
+            c.n_bins, min_temp=c.min_temp, max_temp=c.max_temp,
+            name="conditional_log_binomial",
+        )(last, emb_up)
+
+        b_up = _resize(b_centers, probs.shape[1], probs.shape[2])
+        depth = jnp.sum(probs * b_up, axis=-1)
+        return _resize(depth[..., None], x.shape[1], x.shape[2])[..., 0]

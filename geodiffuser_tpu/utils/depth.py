@@ -212,21 +212,50 @@ class MidasDPTPredictor:
         return postprocess_relative_depth(np.asarray(d), translate_factor)
 
 
+class ZoeDepthPredictor:
+    """Metric-depth backend (get_monocular_ZoeDepth, depth_predictor.py:277-319)
+    over the native metric-bins ZoeDepth (models/zoedepth.py).
+
+    Returns metric depth directly (no inversion — ZoeDepth output is already
+    depth, not disparity; the reference likewise returns it raw)."""
+
+    def __init__(self, params=None, config=None, size: int = 384):
+        from geodiffuser_tpu.models.zoedepth import ZoeDepth, ZoeDepthConfig
+
+        self.cfg = config or ZoeDepthConfig()
+        self.size = size
+        self.model = ZoeDepth(self.cfg)
+        if params is None:
+            p = self.cfg.core.patch_size
+            params = self.model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, p * 4, p * 4, 3))
+            )
+        self.params = params
+        self._apply = jax.jit(self.model.apply)
+
+    def __call__(self, image: np.ndarray, translate_factor: float = 0.0) -> np.ndarray:
+        img = np.asarray(image, np.float32)
+        if img.max() > 1.5:
+            img = img / 255.0
+        h, w = img.shape[:2]
+        p = self.cfg.core.patch_size
+        s = max(self.size // p, 2) * p
+        x = image_ops.resize_bilinear_hwc(jnp.asarray(img), s, s)
+        x = (x - IMAGENET_MEAN) / IMAGENET_STD
+        d = self._apply(self.params, x[None])[0]
+        d = np.asarray(image_ops.resize_bilinear(d, h, w))
+        if translate_factor:
+            d = d + d.max() * translate_factor
+        return d
+
+
 def get_depth_predictor(name: str = "depth_anything", **kw):
     """Depth-model registry (the reference's model dropdown,
-    ui_utils.py:380-411: depth_anything | dpt_large | zoedepth | constant).
-
-    ZoeDepth (metric depth, BEiT backbone + metric-bins head,
-    depth_predictor.py:277-319) is not yet implemented natively; it was an
-    optional alternative backend — the pipeline default is Depth-Anything.
-    """
+    ui_utils.py:380-411: depth_anything | dpt_large | zoedepth | constant)."""
     if name == "depth_anything":
         return DepthAnythingPredictor(**kw)
     if name in ("dpt_large", "midas"):
         return MidasDPTPredictor(**kw)
     if name == "zoedepth":
-        raise NotImplementedError(
-            "ZoeDepth metric-depth backend is not yet ported; use "
-            "depth_anything (the reference default) or dpt_large."
-        )
+        return ZoeDepthPredictor(**kw)
     raise ValueError(f"unknown depth model {name}")
