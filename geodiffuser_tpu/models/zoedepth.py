@@ -116,6 +116,17 @@ def log_binom(n, k, eps: float = 1e-7):
     return n * jnp.log(n) - k * jnp.log(k) - (n - k) * jnp.log(n - k + eps)
 
 
+def _log_binom_host(n: float, k, eps: float = 1e-7):
+    """Host-side (numpy) version: the binomial coefficients over a fixed
+    class count are constants; computing them in-graph tripped an XLA
+    constant-folding/fusion bug that turned the k = K-1 column into NaN."""
+    import numpy as _np
+
+    n = float(n) + eps
+    k = _np.asarray(k, _np.float64) + eps
+    return (n * _np.log(n) - k * _np.log(k) - (n - k) * _np.log(n - k + eps)).astype(_np.float32)
+
+
 class ConditionalLogBinomial(nn.Module):
     """p,t from an MLP over [features|condition]; output = softmax over the
     log-binomial pmf at temperature t (zoedepth layers/dist_layers.py:36-121)."""
@@ -134,21 +145,26 @@ class ConditionalLogBinomial(nn.Module):
         )
         h = nn.gelu(h, approximate=False)
         pt = jax.nn.softplus(nn.Conv(4, (1, 1), name="mlp_2")(h))
-        p = pt[..., :2] + self.p_eps
-        p = p[..., 0] / (p[..., 0] + p[..., 1])
+        p0 = pt[..., 0] + self.p_eps
+        p1 = pt[..., 1] + self.p_eps
         t = pt[..., 2:] + self.p_eps
         t = t[..., 0] / (t[..., 0] + t[..., 1])
         t = (self.max_temp - self.min_temp) * t + self.min_temp
 
         k = self.n_classes
+        import numpy as _np
+
+        k_np = _np.arange(k, dtype=_np.float64)
+        lb = jnp.asarray(_log_binom_host(k - 1, k_np))[None, None, None, :]
         k_idx = jnp.arange(k, dtype=jnp.float32)[None, None, None, :]
-        k_minus_1 = jnp.float32(k - 1)
         eps = 1e-4
-        pc = jnp.clip(p, eps, 1.0)[..., None]
-        one_minus = jnp.clip(1.0 - p, eps, 1.0)[..., None]
-        y = log_binom(k_minus_1, k_idx) + k_idx * jnp.log(pc) + (
-            k - 1 - k_idx
-        ) * jnp.log(one_minus)
+        # log p and log(1-p) computed directly in log space (identical to the
+        # reference's clip(p, eps, 1) before log; the binomial coefficients
+        # are host-side constants — see _log_binom_host)
+        log_s = jnp.log(p0 + p1)
+        log_pc = jnp.clip(jnp.log(p0) - log_s, math.log(eps), 0.0)[..., None]
+        log_om = jnp.clip(jnp.log(p1) - log_s, math.log(eps), 0.0)[..., None]
+        y = lb + k_idx * log_pc + (k - 1 - k_idx) * log_om
         return jax.nn.softmax(y / t[..., None], axis=-1)   # (B, H, W, K)
 
 

@@ -134,3 +134,15 @@ def test_zoedepth_full_model_runs():
     assert bool(jnp.isfinite(d).all())
     cfg = ZoeDepthConfig.tiny()
     assert float(d.min()) >= 0.0  # metric depths are expectations over bins
+
+
+def test_zoedepth_predictor_jitted_finite():
+    """Regression: an in-graph constant-folded log-binomial produced NaN in
+    the K-1 bin column under jit (host-side constants now)."""
+    from geodiffuser_tpu.models.zoedepth import ZoeDepthConfig
+    from geodiffuser_tpu.utils.depth import get_depth_predictor
+
+    pred = get_depth_predictor("zoedepth", config=ZoeDepthConfig.tiny(), size=64)
+    d = pred((np.random.RandomState(0).rand(50, 70, 3) * 255).astype(np.uint8))
+    assert d.shape == (50, 70)
+    assert np.isfinite(d).all()
