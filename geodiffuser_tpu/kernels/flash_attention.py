@@ -1,4 +1,4 @@
-"""Pallas TPU flash attention for the UNet's self-attention layers.
+"""Pallas TPU flash attention (forward + backward) for the UNet attention.
 
 Why: at 64^2 latent resolution a single self-attention layer materializes a
 (streams*heads, 4096, 4096) probability matrix; the XLA path writes it to
@@ -7,14 +7,15 @@ HBM in fp32 (softmax accumulation) and reads it back for the PV matmul —
 softmax(q k^T * scale) v with the online-softmax recurrence entirely in
 VMEM: HBM traffic drops to the q/k/v/o tensors themselves.
 
-Used for the *vanilla* attention paths (all 4 CFG streams; the base/edit
-streams of the optimize pass outside loss layers).  The loss-bearing edit
-layers still use the explicit form — the removal loss semantically needs
-attention rows (attention_processors.py:248-280); fusing those reductions
-is the next kernel.
+The backward is a real Pallas implementation of the flash-attention
+recurrence (two kernels: dq over q-tiles scanning k, dk/dv over k-tiles
+scanning q), using the forward's saved log-sum-exp row statistics — the
+probability map is never materialized in HBM in EITHER pass.  This is what
+lets the optimize step (grad of the shared-attention loss through the UNet,
+reference editor.py:181-336) run attention at flash cost.
 
 Head dims in SD-1.x are 40/80/160; operands are zero-padded to 128 lanes
-(zeros don't change logits or the weighted sum).
+(zeros don't change logits, the weighted sum, or any gradient).
 """
 
 from __future__ import annotations
@@ -30,7 +31,8 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, kv_steps):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                *, scale, kv_steps):
     """Grid = (batch, q_blocks, k_blocks); k is the innermost (sequential)
     axis, accumulators persist across it in VMEM scratch."""
     kv_i = pl.program_id(2)
@@ -65,6 +67,208 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, k
     @pl.when(kv_i == kv_steps - 1)
     def _done():
         o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+        lse_ref[0] = (m_scr[:] + jnp.log(l_scr[:]))[:, 0]
+
+
+def _pad_lanes(t, d_pad):
+    d = t.shape[-1]
+    if d_pad == d:
+        return t
+    return jnp.pad(t, [(0, 0)] * (t.ndim - 1) + [(0, d_pad - d)])
+
+
+def _flash_fwd_impl(q, k, v, scale, block_q, block_k, interpret):
+    """Returns (o, lse) on flattened (B, L, D_pad) operands."""
+    l, d = q.shape[-2:]
+    lk = k.shape[-2]
+    b = math.prod(q.shape[:-2])
+    bq = min(block_q, l)
+    bk = min(block_k, lk)
+    assert l % bq == 0 and lk % bk == 0, (l, lk, bq, bk)
+
+    d_pad = ((d + 127) // 128) * 128
+    qf = _pad_lanes(q.reshape(b, l, d), d_pad)
+    kf = _pad_lanes(k.reshape(b, lk, d), d_pad)
+    vf = _pad_lanes(v.reshape(b, lk, d), d_pad)
+
+    kv_steps = lk // bk
+    grid = (b, l // bq, kv_steps)
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, kv_steps=kv_steps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d_pad), lambda b_, i, j: (b_, i, 0)),
+            pl.BlockSpec((1, bk, d_pad), lambda b_, i, j: (b_, j, 0)),
+            pl.BlockSpec((1, bk, d_pad), lambda b_, i, j: (b_, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, d_pad), lambda b_, i, j: (b_, i, 0)),
+            pl.BlockSpec((1, bq), lambda b_, i, j: (b_, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, l, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((b, l), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, d_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf)
+    return o, lse
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   acc_scr, *, scale, kv_steps):
+    """Grid = (batch, q_blocks, k_blocks); accumulates dq over k tiles.
+
+    ds = p * (do v^T - delta);  dq = scale * ds k.
+    """
+    kv_i = pl.program_id(2)
+
+    @pl.when(kv_i == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, None]                              # (BQ, 1)
+    delta = delta_ref[0][:, None]                          # (BQ, 1)
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p = jnp.exp(logits - lse)                              # (BQ, BK)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                                      # (BQ, BK)
+    ds = p * (dp - delta)
+    acc_scr[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kv_i == kv_steps - 1)
+    def _done():
+        dq_ref[0] = (acc_scr[:] * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr, *, scale, q_steps):
+    """Grid = (batch, k_blocks, q_blocks); accumulates dk/dv over q tiles.
+
+    p^T = exp(k q^T * scale - lse);  dv = p^T do;  dk = scale * ds^T q.
+    """
+    q_i = pl.program_id(2)
+
+    @pl.when(q_i == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][None, :]                              # (1, BQ)
+    delta = delta_ref[0][None, :]                          # (1, BQ)
+
+    logits_t = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                              # (BK, BQ)
+    p_t = jnp.exp(logits_t - lse)
+    dv_scr[:] += jax.lax.dot_general(
+        p_t.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp_t = jax.lax.dot_general(
+        v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                                      # (BK, BQ)
+    ds_t = p_t * (dp_t - delta)
+    dk_scr[:] += jax.lax.dot_general(
+        ds_t.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(q_i == q_steps - 1)
+    def _done():
+        dk_ref[0] = (dk_scr[:] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_impl(q, k, v, o, lse, g, scale, block_q, block_k, interpret):
+    """Pallas backward on flattened (B, L, D) operands; returns (dq, dk, dv)."""
+    l, d = q.shape[-2:]
+    lk = k.shape[-2]
+    b = math.prod(q.shape[:-2])
+    bq = min(block_q, l)
+    bk = min(block_k, lk)
+    d_pad = ((d + 127) // 128) * 128
+
+    qf = _pad_lanes(q.reshape(b, l, d), d_pad)
+    kf = _pad_lanes(k.reshape(b, lk, d), d_pad)
+    vf = _pad_lanes(v.reshape(b, lk, d), d_pad)
+    dof = _pad_lanes(g.reshape(b, l, d), d_pad)
+    of = o.reshape(b, l, d)
+    lsef = lse.reshape(b, l)
+    # delta_i = sum_d do[i,d] * o[i,d] — a fused elementwise+reduce in XLA.
+    delta = jnp.sum(
+        dof[..., :d].astype(jnp.float32) * of.astype(jnp.float32), axis=-1
+    )
+
+    kv_steps = lk // bk
+    q_steps = l // bq
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, kv_steps=kv_steps),
+        grid=(b, q_steps, kv_steps),
+        in_specs=[
+            pl.BlockSpec((1, bq, d_pad), lambda b_, i, j: (b_, i, 0)),
+            pl.BlockSpec((1, bk, d_pad), lambda b_, i, j: (b_, j, 0)),
+            pl.BlockSpec((1, bk, d_pad), lambda b_, i, j: (b_, j, 0)),
+            pl.BlockSpec((1, bq, d_pad), lambda b_, i, j: (b_, i, 0)),
+            pl.BlockSpec((1, bq), lambda b_, i, j: (b_, i)),
+            pl.BlockSpec((1, bq), lambda b_, i, j: (b_, i)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d_pad), lambda b_, i, j: (b_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, l, d_pad), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d_pad), jnp.float32)],
+        interpret=interpret,
+    )(qf, kf, vf, dof, lsef, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, q_steps=q_steps),
+        grid=(b, kv_steps, q_steps),
+        in_specs=[
+            pl.BlockSpec((1, bq, d_pad), lambda b_, j, i: (b_, i, 0)),
+            pl.BlockSpec((1, bk, d_pad), lambda b_, j, i: (b_, j, 0)),
+            pl.BlockSpec((1, bk, d_pad), lambda b_, j, i: (b_, j, 0)),
+            pl.BlockSpec((1, bq, d_pad), lambda b_, j, i: (b_, i, 0)),
+            pl.BlockSpec((1, bq), lambda b_, j, i: (b_, i)),
+            pl.BlockSpec((1, bq), lambda b_, j, i: (b_, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, d_pad), lambda b_, j, i: (b_, j, 0)),
+            pl.BlockSpec((1, bk, d_pad), lambda b_, j, i: (b_, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, lk, d_pad), k.dtype),
+            jax.ShapeDtypeStruct((b, lk, d_pad), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, d_pad), jnp.float32),
+            pltpu.VMEM((bk, d_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, dof, lsef, delta)
+
+    dq = dq[..., :d].reshape(q.shape)
+    dk = dk[..., :d].reshape(k.shape)
+    dv = dv[..., :d].reshape(v.shape)
+    return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -81,62 +285,25 @@ def flash_attention(
 
     q, k, v: (..., L, D) with any leading batch dims; D is zero-padded to a
     multiple of 128 internally; L must divide by the block sizes (callers
-    use powers of two >= 256).
+    use powers of two >= 256).  Differentiable: the backward is also a
+    Pallas flash kernel (no HBM map in either pass).
     """
     orig_shape = q.shape
-    l, d = q.shape[-2:]
-    lk = k.shape[-2]
-    b = math.prod(q.shape[:-2])
-    bq = min(block_q, l)
-    bk = min(block_k, lk)
-    assert l % bq == 0 and lk % bk == 0, (l, lk, bq, bk)
-
-    d_pad = ((d + 127) // 128) * 128
-    qf = q.reshape(b, l, d)
-    kf = k.reshape(b, lk, d)
-    vf = v.reshape(b, lk, d)
-    if d_pad != d:
-        pad = [(0, 0), (0, 0), (0, d_pad - d)]
-        qf, kf, vf = (jnp.pad(t, pad) for t in (qf, kf, vf))
-
-    kv_steps = lk // bk
-    grid = (b, l // bq, kv_steps)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, kv_steps=kv_steps),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, d_pad), lambda b_, i, j: (b_, i, 0)),
-            pl.BlockSpec((1, bk, d_pad), lambda b_, i, j: (b_, j, 0)),
-            pl.BlockSpec((1, bk, d_pad), lambda b_, i, j: (b_, j, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, bq, d_pad), lambda b_, i, j: (b_, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, l, d_pad), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, d_pad), jnp.float32),
-        ],
-        interpret=interpret,
-    )(qf, kf, vf)
-    return out[..., :d].reshape(orig_shape)
+    d = q.shape[-1]
+    o, _ = _flash_fwd_impl(q, k, v, scale, block_q, block_k, interpret)
+    return o[..., :d].reshape(orig_shape)
 
 
 def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
-    return flash_attention(q, k, v, scale, block_q, block_k, interpret), (q, k, v)
+    d = q.shape[-1]
+    o_pad, lse = _flash_fwd_impl(q, k, v, scale, block_q, block_k, interpret)
+    o = o_pad[..., :d].reshape(q.shape)
+    return o, (q, k, v, o, lse)
 
 
 def _flash_bwd(scale, block_q, block_k, interpret, res, g):
-    """Backward via the explicit XLA attention (materializes the map only in
-    the backward pass; the hot no-grad paths never hit this)."""
-    q, k, v = res
-
-    def ref(q_, k_, v_):
-        logits = jnp.einsum("...id,...jd->...ij", q_, k_, preferred_element_type=jnp.float32)
-        p = jax.nn.softmax(logits * scale, axis=-1)
-        return jnp.einsum("...ij,...jd->...id", p.astype(v_.dtype), v_)
-
-    _, vjp = jax.vjp(ref, q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = res
+    return _flash_bwd_impl(q, k, v, o, lse, g, scale, block_q, block_k, interpret)
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
