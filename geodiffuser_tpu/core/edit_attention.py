@@ -112,8 +112,8 @@ def fast_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float, allow_flash: bool
 ) -> jnp.ndarray:
     """Vanilla attention, routed through the Pallas flash kernel on TPU when
-    the map is large (kernels/flash_attention.py).  Callers must pass
-    allow_flash=False on differentiated paths (no custom VJP yet)."""
+    the map is large (kernels/flash_attention.py).  Safe on differentiated
+    paths: the backward is also a Pallas flash kernel."""
     from geodiffuser_tpu.kernels import flash_attention as fa
 
     lq, lk = q.shape[-2], k.shape[-2]
@@ -144,6 +144,37 @@ def object_placement_loss(
     return background_preservation_loss(edit_out, replace_out, mask_edit, eps)
 
 
+def _removal_per_row_loss(p_in, p_bg, d_bg, row_mask, inpaint_sum, h, eps=1e-4):
+    """Distance-weighted log-ratio reduction shared by both removal paths
+    (attention_processors.py:263-268)."""
+    w = sg(jnp.exp(-d_bg))
+    per_row = w * (
+        -jnp.log(jnp.maximum(p_bg, 0.0) + eps) + jnp.log(jnp.maximum(p_in, 0.0) + eps)
+    )
+    return (per_row * row_mask[None, :]).sum() / (inpaint_sum * h + 1e-8)
+
+
+def removal_loss_fused(
+    q_e: jnp.ndarray, k_r: jnp.ndarray, q_b: jnp.ndarray, k_b: jnp.ndarray,
+    ms: MaskSet, scale: float,
+) -> jnp.ndarray:
+    """Removal correlation loss via the fused Pallas kernel
+    (kernels/removal_corr.py): neither attention map nor the correlation
+    matrix is materialized in HBM, and the backward touches only the two
+    argmax base rows per inpaint row.  Semantics match `removal_loss`
+    (attention_processors.py:248-280) under the static row budget."""
+    from geodiffuser_tpu.kernels import removal_corr as rc
+
+    h = q_e.shape[0]
+    rows, row_mask = ms.inpaint_rows, ms.inpaint_row_mask
+    qe_rows = q_e[:, rows]
+    p_in, p_bg, _, j_bg = rc.removal_correlation(
+        qe_rows, k_r, sg(q_b), sg(k_b), ms.inpaint, ms.background, scale
+    )
+    d_bg = ms.distance[rows[None, :], j_bg]              # (h, K)
+    return _removal_per_row_loss(p_in, p_bg, d_bg, row_mask, ms.inpaint.sum(), h)
+
+
 def removal_loss(
     probs_rows: jnp.ndarray,
     base_probs: jnp.ndarray,
@@ -157,8 +188,12 @@ def removal_loss(
     (distance-weighted) and minimize the best inpaint match
     (attention_processors.py:248-280).
 
-    Static-shape reformulation: probs_rows holds only a static seq//4 budget
-    of inpaint rows (precomputed per edit, edit_state.build_mask_sets) — the
+    Explicit (map-materializing) formulation, used only on the
+    `apply_constraints` path where the probability maps exist anyway; the
+    default path uses `removal_loss_fused`.
+
+    Static-shape reformulation: probs_rows holds only a static budget of
+    inpaint rows (precomputed per edit, edit_state.build_mask_sets) — the
     full edit-attention map is never materialized; normalization keeps the
     full inpaint mask sum (exact parity while the budget holds, documented
     truncation otherwise).
@@ -179,9 +214,7 @@ def removal_loss(
     p_bg = jnp.max(corr_bg, axis=-1)
     j_bg = jnp.argmax(corr_bg, axis=-1)                  # (h, K)
     d_bg = ms.distance[rows[None, :], j_bg]              # (h, K)
-    w = sg(jnp.exp(-d_bg))
-    per_row = w * (-jnp.log(jnp.maximum(p_bg, 0.0) + eps) + jnp.log(jnp.maximum(p_in, 0.0) + eps))
-    return (per_row * row_mask[None, :]).sum() / (ms.inpaint.sum() * h + 1e-8)
+    return _removal_per_row_loss(p_in, p_bg, d_bg, row_mask, ms.inpaint.sum(), h, eps)
 
 
 def interpolate_from_mask(
@@ -302,7 +335,6 @@ def _editor_stream(
     state: EditState,
     ms: MaskSet,
     scale: float,
-    base_probs: Optional[jnp.ndarray],
 ):
     """AttentionGeometryEdit edit-stream output + losses
     (attention_processors.py:384-624)."""
@@ -318,10 +350,11 @@ def _editor_stream(
     # Live edit-stream keys: self uses base keys, cross uses edit keys
     # (attention_processors.py:432,555); values always from the base stream.
     k_r = k[e_i] if is_cross else k_b
-    # Outputs go through flash in BOTH passes (the custom VJP covers the
-    # optimize pass); only the removal loss needs probabilities, and only for
-    # its static inpaint-row budget — the full edit map is never built.
-    if state.apply_constraints and not is_cross:
+    # Outputs go through flash in BOTH passes (forward and backward are real
+    # Pallas kernels); the removal loss routes through the fused correlation
+    # kernel — no attention map is ever materialized on the default path.
+    use_explicit = state.apply_constraints and not is_cross
+    if use_explicit:
         logits = jnp.einsum(
             "hid,hjd->hij", q_e, k_r, preferred_element_type=jnp.float32
         ) * scale
@@ -333,11 +366,6 @@ def _editor_stream(
     else:
         edit_out = sg(fast_attention(q_eb, k_b, v_b, scale, allow_flash=True))
         replace_out = fast_attention(q_e, k_r, v_b, scale, allow_flash=True)
-        probs_rows = None
-        if state.compute_losses and q.shape[2] >= state.loss_min_seq:
-            probs_rows = attn_probs(
-                q_e[:, ms.inpaint_rows], k_r, scale, out_dtype=jnp.bfloat16
-            )
 
     loss = jnp.float32(0.0)
     logs = zero_logs()
@@ -346,7 +374,11 @@ def _editor_stream(
         w = state.weights_cross if is_cross else state.weights_self
         sim = background_preservation_loss(edit_out, replace_out, ms.background)
         movement = object_placement_loss(edit_out, replace_out, ms.mask_new_warped)
-        removal = removal_loss(probs_rows, base_probs, ms)
+        if use_explicit:
+            base_probs = attn_probs(q_b, k_b, scale, out_dtype=jnp.bfloat16)
+            removal = removal_loss(probs_rows, base_probs, ms)
+        else:
+            removal = removal_loss_fused(q_e, k_r, q_b, k_b, ms, scale)
         smooth = smoothness_loss(replace_out)
         if l >= state.amodal_min_seq:
             amodal = amodal_loss(edit_out, replace_out, ms)
@@ -379,23 +411,17 @@ def _remover_stream(
     state: EditState,
     ms: MaskSet,
     scale: float,
-    base_probs: Optional[jnp.ndarray],
     base_out: jnp.ndarray,
 ):
     """AttentionGeometryRemover edit-stream output + losses
     (attention_processors.py:748-928)."""
     b_i, e_i = state.base_idx, state.edit_idx
-    k_b, v_b = sg(k[b_i]), sg(v[b_i])
+    q_b, k_b, v_b = sg(q[b_i]), sg(k[b_i]), sg(v[b_i])
     q_e = q[e_i]
 
     edit_out = sg(base_out)  # the base stream's vanilla output
 
     replace_out = fast_attention(q_e, k_b, v_b, scale, allow_flash=True)
-    probs_rows = None
-    if state.compute_losses and q.shape[2] >= state.loss_min_seq:
-        probs_rows = attn_probs(
-            q_e[:, ms.inpaint_rows], k_b, scale, out_dtype=jnp.bfloat16
-        )
 
     loss = jnp.float32(0.0)
     logs = zero_logs()
@@ -403,7 +429,7 @@ def _remover_stream(
     if state.compute_losses and l >= state.loss_min_seq:
         w = state.weights_cross if is_cross else state.weights_self
         sim = background_preservation_loss(edit_out, replace_out, ms.background)
-        removal = removal_loss(probs_rows, base_probs, ms)
+        removal = removal_loss_fused(q_e, k_b, q_b, k_b, ms, scale)
         smooth = smoothness_loss(replace_out)
         loss = w["sim"] * sim + w["removal"] * removal + w["smoothness"] * smooth
         logs = _branch_logs(is_cross, sim=sim, removal=removal, smoothness=smooth)
@@ -411,9 +437,7 @@ def _remover_stream(
     # After obj_edit_step, blend identity attention inside the inpaint mask
     # (attention_processors.py:831-834, 922-925).
     def with_identity(_):
-        id_out = fast_attention(
-            q_e, k[e_i], v[e_i], scale, allow_flash=not state.compute_losses
-        )
+        id_out = fast_attention(q_e, k[e_i], v[e_i], scale, allow_flash=True)
         m_in = ms.inpaint[None, :, None].astype(replace_out.dtype)
         m_bg = ms.background[None, :, None].astype(replace_out.dtype)
         return id_out * m_in + replace_out * m_bg
@@ -459,28 +483,20 @@ def edited_attention(
     # [0:coords_base[1]] only (attention_processors.py:643-647); the edit
     # stream's vanilla is needed only outside the self-replace window and is
     # computed inside that branch.
-    allow_flash = not state.compute_losses
 
     if res * res != l or res not in state.masks:
-        out_v = fast_attention(q, k, v, scale, allow_flash=allow_flash)
+        out_v = fast_attention(q, k, v, scale, allow_flash=True)
         return out_v, jnp.float32(0.0), zero_logs()
     ms = state.masks[res]
 
-    out_v = fast_attention(q[:n_van], k[:n_van], v[:n_van], scale, allow_flash=allow_flash)
-
-    need_probs = state.compute_losses and l >= state.loss_min_seq
-    base_probs = (
-        attn_probs(sg(q[state.base_idx]), sg(k[state.base_idx]), scale, out_dtype=jnp.bfloat16)
-        if need_probs
-        else None
-    )
+    out_v = fast_attention(q[:n_van], k[:n_van], v[:n_van], scale, allow_flash=True)
 
     def do_edit(_):
         if state.mode == "remover":
             return _remover_stream(
-                q, k, v, is_cross, state, ms, scale, base_probs, out_v[state.base_idx]
+                q, k, v, is_cross, state, ms, scale, out_v[state.base_idx]
             )
-        return _editor_stream(q, k, v, is_cross, state, ms, scale, base_probs)
+        return _editor_stream(q, k, v, is_cross, state, ms, scale)
 
     def no_edit(_):
         return (
@@ -488,7 +504,7 @@ def edited_attention(
                 q[state.edit_idx : state.edit_idx + 1],
                 k[state.edit_idx : state.edit_idx + 1],
                 v[state.edit_idx : state.edit_idx + 1],
-                scale, allow_flash=allow_flash,
+                scale, allow_flash=True,
             )[0],
             jnp.float32(0.0),
             zero_logs(),

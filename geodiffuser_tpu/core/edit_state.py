@@ -68,8 +68,11 @@ class MaskSet(flax.struct.PyTreeNode):
     interp_idx: Optional[jnp.ndarray] = None   # (seq, 4) amodal top-4 sources
     interp_vals: Optional[jnp.ndarray] = None  # (seq, 4) inverse distances
     interp_w: Optional[jnp.ndarray] = None     # (seq,) confidence weights
-    inpaint_rows: Optional[jnp.ndarray] = None     # (seq//4,) removal-loss rows
-    inpaint_row_mask: Optional[jnp.ndarray] = None  # (seq//4,)
+    inpaint_rows: Optional[jnp.ndarray] = None     # (budget,) removal-loss rows
+    inpaint_row_mask: Optional[jnp.ndarray] = None  # (budget,)
+    # 1.0 when the inpaint mask exceeds the static row budget (rows dropped,
+    # loss silently shrinks) — the host loop warns on it (editor.run)
+    inpaint_overflow: Optional[jnp.ndarray] = None  # () scalar
 
 
 class EditState(flax.struct.PyTreeNode):
@@ -187,7 +190,7 @@ def build_mask_sets(
 
         is_loss_res = seq >= loss_min_seq(max(resolutions))
         dist = coordinate_distance_grid(res) if is_loss_res else None
-        interp_idx = interp_vals = interp_w = rows = row_mask = None
+        interp_idx = interp_vals = interp_w = rows = row_mask = overflow = None
         inpaint_flat = inpaint.reshape(-1)
         if is_loss_res:
             # amodal interpolation sources (attention_sharing.py:67-105):
@@ -199,12 +202,15 @@ def build_mask_sets(
             interp_w = jnp.exp(-(1.0 / jnp.max(interp_vals, axis=-1)) / 5.0)
             # removal-loss row subset: the reference gathers only inpaint
             # rows (data-dependent, attention_processors.py:250); we take a
-            # static seq//4 budget of them (typical inpaint regions are far
-            # smaller; overflow rows are dropped and the loss normalization
-            # keeps the full mask sum)
-            k = seq // 4
+            # static budget of them — seq//4 for the editor (typical inpaint
+            # regions are far smaller), seq//2 for the remover whose x5
+            # dilation routinely exceeds a quarter of the image.  Overflow
+            # rows are dropped (loss normalization keeps the full mask sum);
+            # the scalar overflow flag lets the host loop warn loudly.
+            k = seq // 2 if mode == "remover" else seq // 4
             row_vals, rows = jax.lax.top_k(inpaint_flat, k)
             row_mask = (row_vals > 0.5).astype(jnp.float32)
+            overflow = (inpaint_flat.sum() > k).astype(jnp.float32)
         out[res] = MaskSet(
             mask_warp=m_warp.reshape(-1),
             mask_new_warped=m_new.reshape(-1),
@@ -219,6 +225,7 @@ def build_mask_sets(
             interp_w=interp_w,
             inpaint_rows=rows,
             inpaint_row_mask=row_mask,
+            inpaint_overflow=overflow,
         )
     return out
 

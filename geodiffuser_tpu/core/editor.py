@@ -110,6 +110,26 @@ class EditSession:
         )
         return tf, masks
 
+    def _warn_row_budget(self, masks) -> None:
+        """Loud host-side warning when an inpaint mask exceeds the static
+        removal-loss row budget (rows are dropped; the loss shrinks while its
+        normalization keeps the full mask sum — see edit_state.build_mask_sets)."""
+        flags = {
+            res: ms.inpaint_overflow
+            for res, ms in masks.items()
+            if ms.inpaint_overflow is not None
+        }
+        if not flags:
+            return
+        vals = np.asarray(jnp.stack(list(flags.values())))  # one fetch
+        for res, v in zip(flags, vals.reshape(len(flags), -1)):
+            if v.max() > 0.5:
+                log.warning(
+                    "inpaint mask at %dx%d exceeds the removal-loss row budget; "
+                    "overflow rows are dropped and the removal loss is "
+                    "underestimated — shrink the mask or dilation", res, res,
+                )
+
     def _state(self, masks, i, weights, radius, tau, use_cfg, compute_losses,
                warp_mats=None):
         if warp_mats is None:
@@ -242,6 +262,7 @@ class EditSession:
 
         # --- preprocessing: transform field + masks (one compiled program)
         tf, masks = self._preprocess(image_j, depth_j, mask_j, transform_j)
+        self._warn_row_budget(masks)
 
         # --- text + image encoders
         ctx_cond = self.pipeline.encode_text([prompt])
@@ -301,6 +322,7 @@ class EditSession:
             return {b: {k_: np.float32(v_) for k_, v_ in t_.items()} for b, t_ in w.items()}
 
         wm_cache: Dict = {}
+        first_optim_done = False
         # first step past both the optimize and latent-replace windows: the
         # remaining CFG-only steps run as one fused scan (no null-text
         # per-step context swaps in that regime)
@@ -343,26 +365,52 @@ class EditSession:
                     if cfg.use_optimizer
                     else np.float32(optimization.effective_lr(cfg.lr, i, cfg.skip_optim_steps, n))
                 )
-                latents2, context4, sgd_state, log_vec = self._optimize_step(
-                    self.pipeline.params["unet"], latents2, context4, t_j,
-                    masks, i_j, wa, r_j, tau_j, lr_eff, sgd_state, wm,
+                # Fast-start: the FIRST optimize step may run several inner
+                # iterations with best-loss snapshotting (editor.py:185-276).
+                # The logged loss is evaluated at the PRE-update state, so the
+                # kept snapshot is the pre-update (latents, context) of the
+                # lowest-loss iteration; with one iteration the post-update
+                # state is kept (reference editor.py:274-276).
+                n_inner = (
+                    cfg.num_first_optim_steps
+                    if (not first_optim_done and cfg.fast_start_steps > 0.0)
+                    else 1
                 )
-                log_np = np.asarray(log_vec)  # one fetch
-                log_keys = sorted(edit_attention.zero_logs().keys())
-                logs_host = dict(zip(log_keys, log_np[1:].tolist()))
-                logs_host = {
-                    k: float(v) for k, v in edit_attention.normalize_logs(logs_host).items()
-                }
-                logs_host["total"] = float(log_np[0])
-                loss_log[i] = logs_host
-                if cfg.use_adaptive_optimization:
-                    weights = optimization.adaptive_step(
-                        weights, defaults, i, cfg.skip_optim_steps, n,
-                        logs_host["self/removal"], cfg.edit_type, cfg.removal_loss_value,
+                first_optim_done = True
+                best = (np.inf, None, None)
+                for _ in range(n_inner):
+                    prev_state = (latents2, context4)
+                    latents2, context4, sgd_state, log_vec = self._optimize_step(
+                        self.pipeline.params["unet"], latents2, context4, t_j,
+                        masks, i_j, wa, r_j, tau_j, lr_eff, sgd_state, wm,
                     )
-                    wa = weight_arrays(weights)
-                if progress is not None:
-                    progress(i / n, desc=f"Editing loss: {logs_host['total']:.4f}")
+                    log_np = np.asarray(log_vec)  # one fetch
+                    log_keys = sorted(edit_attention.zero_logs().keys())
+                    logs_host = dict(zip(log_keys, log_np[1:].tolist()))
+                    logs_host = {
+                        k: float(v) for k, v in edit_attention.normalize_logs(logs_host).items()
+                    }
+                    logs_host["total"] = float(log_np[0])
+                    loss_log[i] = logs_host
+                    if n_inner > 1 and logs_host["total"] < best[0]:
+                        best = (logs_host["total"], *prev_state)
+                    if cfg.use_adaptive_optimization:
+                        if cfg.edit_type == "geometry_stitch":
+                            weights = optimization.adaptive_step_stitching(
+                                weights, defaults, i, cfg.skip_optim_steps, n,
+                                logs_host["self/sim"],
+                            )
+                        else:
+                            weights = optimization.adaptive_step(
+                                weights, defaults, i, cfg.skip_optim_steps, n,
+                                logs_host["self/removal"], cfg.edit_type,
+                                cfg.removal_loss_value,
+                            )
+                        wa = weight_arrays(weights)
+                    if progress is not None:
+                        progress(i / n, desc=f"Editing loss: {logs_host['total']:.4f}")
+                if n_inner > 1 and best[1] is not None:
+                    latents2, context4 = best[1], best[2]
 
             pinned = all_latents[n - 1 - i]
             do_replace = np.bool_(i < cfg.latent_replace * n)
@@ -499,7 +547,7 @@ def perform_stitch(
     attention losses then harmonize the pasted object against the stitched
     base trajectory.
     """
-    cfg = cfg or EditConfig(edit_type="geometry_editor")
+    cfg = cfg or EditConfig(edit_type="geometry_stitch")
     fg = np.asarray(foreground, np.float32)
     bg = np.asarray(background, np.float32)
     if fg.max() > 1.5:

@@ -134,3 +134,43 @@ def adaptive_step(
     else:
         w = _clone(defaults)
     return w
+
+
+def adaptive_step_stitching(
+    weights: WeightTable,
+    defaults: Mapping[str, Mapping[str, float]],
+    step: int,
+    skip_optim_steps: int,
+    num_ddim_steps: int,
+    logged_self_sim: float,
+    sim_key: str = "sim",
+) -> WeightTable:
+    """Adaptive stitching weight schedule
+    (adaptive_optimization_step_stitching, optimization.py:109-162):
+    exponential expected-loss targeting of the background-similarity weight.
+
+    Phase 1 (first 40%): expected = 0.18 / 1.01^remaining; sim weight *= 1.1
+    if behind, /= 2.5 if far ahead.  Phase 2 (40-70%): *= 1.1 while the
+    logged sim loss stays above 0.2, else reset.  Phase 3: reset to defaults.
+
+    The reference's stitch controller keys this on its `sim_out` loss; our
+    stitch redesign (editor.perform_stitch) reuses the editor loss set, so
+    the key defaults to `sim`.
+    """
+    w = _clone(weights)
+    frac = step / num_ddim_steps
+    if frac < 0.4:
+        remaining = int((0.4 - frac) * num_ddim_steps / skip_optim_steps)
+        expected = 0.18 / (1.01 ** remaining)
+        if expected < logged_self_sim:
+            w["self"][sim_key] *= 1.1
+        elif 2.5 * expected > logged_self_sim:
+            w["self"][sim_key] /= 2.5
+    elif frac < 0.7:
+        if logged_self_sim > 0.2:
+            w["self"][sim_key] *= 1.1
+        else:
+            w = _clone(defaults)
+    else:
+        w = _clone(defaults)
+    return w

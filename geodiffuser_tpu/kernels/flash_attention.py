@@ -67,7 +67,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     @pl.when(kv_i == kv_steps - 1)
     def _done():
         o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
-        lse_ref[0] = (m_scr[:] + jnp.log(l_scr[:]))[:, 0]
+        lse_ref[0] = m_scr[:] + jnp.log(l_scr[:])
 
 
 def _pad_lanes(t, d_pad):
@@ -103,11 +103,11 @@ def _flash_fwd_impl(q, k, v, scale, block_q, block_k, interpret):
         ],
         out_specs=[
             pl.BlockSpec((1, bq, d_pad), lambda b_, i, j: (b_, i, 0)),
-            pl.BlockSpec((1, bq), lambda b_, i, j: (b_, i)),
+            pl.BlockSpec((1, bq, 1), lambda b_, i, j: (b_, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, l, d_pad), q.dtype),
-            jax.ShapeDtypeStruct((b, l), jnp.float32),
+            jax.ShapeDtypeStruct((b, l, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
@@ -135,8 +135,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0][:, None]                              # (BQ, 1)
-    delta = delta_ref[0][:, None]                          # (BQ, 1)
+    lse = lse_ref[0]                                       # (BQ, 1)
+    delta = delta_ref[0]                                   # (BQ, 1)
 
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -173,8 +173,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0][None, :]                              # (1, BQ)
-    delta = delta_ref[0][None, :]                          # (1, BQ)
+    lse = lse_ref[0][:, 0][None, :]                        # (1, BQ)
+    delta = delta_ref[0][:, 0][None, :]                    # (1, BQ)
 
     logits_t = jax.lax.dot_general(
         k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -213,10 +213,11 @@ def _flash_bwd_impl(q, k, v, o, lse, g, scale, block_q, block_k, interpret):
     vf = _pad_lanes(v.reshape(b, lk, d), d_pad)
     dof = _pad_lanes(g.reshape(b, l, d), d_pad)
     of = o.reshape(b, l, d)
-    lsef = lse.reshape(b, l)
+    lsef = lse.reshape(b, l, 1)
     # delta_i = sum_d do[i,d] * o[i,d] — a fused elementwise+reduce in XLA.
     delta = jnp.sum(
-        dof[..., :d].astype(jnp.float32) * of.astype(jnp.float32), axis=-1
+        dof[..., :d].astype(jnp.float32) * of.astype(jnp.float32), axis=-1,
+        keepdims=True,
     )
 
     kv_steps = lk // bk
@@ -230,8 +231,8 @@ def _flash_bwd_impl(q, k, v, o, lse, g, scale, block_q, block_k, interpret):
             pl.BlockSpec((1, bk, d_pad), lambda b_, i, j: (b_, j, 0)),
             pl.BlockSpec((1, bk, d_pad), lambda b_, i, j: (b_, j, 0)),
             pl.BlockSpec((1, bq, d_pad), lambda b_, i, j: (b_, i, 0)),
-            pl.BlockSpec((1, bq), lambda b_, i, j: (b_, i)),
-            pl.BlockSpec((1, bq), lambda b_, i, j: (b_, i)),
+            pl.BlockSpec((1, bq, 1), lambda b_, i, j: (b_, i, 0)),
+            pl.BlockSpec((1, bq, 1), lambda b_, i, j: (b_, i, 0)),
         ],
         out_specs=pl.BlockSpec((1, bq, d_pad), lambda b_, i, j: (b_, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, l, d_pad), q.dtype),
@@ -247,8 +248,8 @@ def _flash_bwd_impl(q, k, v, o, lse, g, scale, block_q, block_k, interpret):
             pl.BlockSpec((1, bk, d_pad), lambda b_, j, i: (b_, j, 0)),
             pl.BlockSpec((1, bk, d_pad), lambda b_, j, i: (b_, j, 0)),
             pl.BlockSpec((1, bq, d_pad), lambda b_, j, i: (b_, i, 0)),
-            pl.BlockSpec((1, bq), lambda b_, j, i: (b_, i)),
-            pl.BlockSpec((1, bq), lambda b_, j, i: (b_, i)),
+            pl.BlockSpec((1, bq, 1), lambda b_, j, i: (b_, i, 0)),
+            pl.BlockSpec((1, bq, 1), lambda b_, j, i: (b_, i, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, bk, d_pad), lambda b_, j, i: (b_, j, 0)),

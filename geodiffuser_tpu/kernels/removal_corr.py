@@ -108,9 +108,11 @@ def _corr_kernel(
 
         def merge(mask_row, p_ref, j_ref):
             cm = jnp.where((mask_row > 0.5)[None, :], corr, MASKED)
-            m = jnp.max(cm, axis=-1)                                # (BI,)
+            m = jnp.max(cm, axis=-1, keepdims=True)                 # (BI, 1)
             # first-occurrence argmax (torch semantics)
-            idx = jnp.min(jnp.where(cm == m[:, None], j_glob, jnp.int32(2**30)), axis=-1)
+            idx = jnp.min(
+                jnp.where(cm == m, j_glob, jnp.int32(2**30)), axis=-1, keepdims=True
+            )
             cur = p_ref[0]
             better = m > cur
             p_ref[0] = jnp.where(better, m, cur)
@@ -180,16 +182,16 @@ def _corr_pallas(qe, ke, qb, kb, inpaint, background, scale, interpret):
             pl.BlockSpec((1, bj), lambda h_, i, j, k: (0, j)),
         ],
         out_specs=[
-            pl.BlockSpec((1, bi), lambda h_, i, j, k: (h_, i)),
-            pl.BlockSpec((1, bi), lambda h_, i, j, k: (h_, i)),
-            pl.BlockSpec((1, bi), lambda h_, i, j, k: (h_, i)),
-            pl.BlockSpec((1, bi), lambda h_, i, j, k: (h_, i)),
+            pl.BlockSpec((1, bi, 1), lambda h_, i, j, k: (h_, i, 0)),
+            pl.BlockSpec((1, bi, 1), lambda h_, i, j, k: (h_, i, 0)),
+            pl.BlockSpec((1, bi, 1), lambda h_, i, j, k: (h_, i, 0)),
+            pl.BlockSpec((1, bi, 1), lambda h_, i, j, k: (h_, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((h, kp), jnp.float32),
-            jax.ShapeDtypeStruct((h, kp), jnp.int32),
-            jax.ShapeDtypeStruct((h, kp), jnp.float32),
-            jax.ShapeDtypeStruct((h, kp), jnp.int32),
+            jax.ShapeDtypeStruct((h, kp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((h, kp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((h, kp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((h, kp, 1), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bi, bj), jnp.float32),
@@ -201,7 +203,8 @@ def _corr_pallas(qe, ke, qb, kb, inpaint, background, scale, interpret):
         interpret=interpret,
     )(qe_p, ke_p, qb_p, kb_p, inp2, bg2)
     return (
-        p_in[:, :k_rows], p_bg[:, :k_rows], j_in[:, :k_rows], j_bg[:, :k_rows]
+        p_in[:, :k_rows, 0], p_bg[:, :k_rows, 0],
+        j_in[:, :k_rows, 0], j_bg[:, :k_rows, 0],
     )
 
 

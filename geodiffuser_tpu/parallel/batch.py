@@ -107,6 +107,7 @@ class ShardedEditSession(EditSession):
         imgs, dep, msk, tra = put(imgs), put(dep), put(msk), put(tra)
 
         tf, masks = self._b_preprocess(imgs, dep, msk, tra)
+        self._warn_row_budget(masks)
 
         ctx_cond = put(jnp.stack([self.pipeline.encode_text([p])[0] for p in prompts]))
         ctx_uncond = put(jnp.tile(self.pipeline.encode_text([cfg.uncond_text]), (e, 1, 1)))

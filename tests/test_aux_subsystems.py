@@ -10,6 +10,11 @@ from geodiffuser_tpu.config import ModelConfig
 from geodiffuser_tpu.utils import attention_vis as av
 
 
+import pytest
+
+pytestmark = pytest.mark.fast
+
+
 def test_attention_capture_and_aggregation():
     from geodiffuser_tpu.models.unet import UNet2DCondition
 

@@ -6,6 +6,11 @@ import numpy as np
 from geodiffuser_tpu.ops import camera
 
 
+import pytest
+
+pytestmark = pytest.mark.fast
+
+
 def test_pixel2cam_roundtrip():
     h = w = 16
     k = camera.camera_matrix(20.0, h, w)

@@ -7,6 +7,11 @@ from geodiffuser_tpu.config import SchedulerConfig
 from geodiffuser_tpu.core import scheduler
 
 
+import pytest
+
+pytestmark = pytest.mark.fast
+
+
 def _ref_alphas():
     betas = np.linspace(0.00085 ** 0.5, 0.012 ** 0.5, 1000) ** 2
     return np.cumprod(1 - betas)

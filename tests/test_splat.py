@@ -7,6 +7,11 @@ from geodiffuser_tpu.ops import camera, splat
 from geodiffuser_tpu.ops import image as image_ops
 
 
+import pytest
+
+pytestmark = pytest.mark.fast
+
+
 def test_identity_splat_preserves_image():
     h = w = 16
     rng = np.random.RandomState(0)

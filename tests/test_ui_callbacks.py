@@ -12,6 +12,11 @@ from geodiffuser_tpu.utils.segmentation import SamPredictor
 SIZE = 128
 
 
+import pytest
+
+pytestmark = pytest.mark.fast
+
+
 @pytest.fixture(scope="module")
 def state():
     from geodiffuser_tpu.core.pipeline import Pipeline
