@@ -249,6 +249,51 @@ class ZoeDepthPredictor:
         return d
 
 
+class ZoeDepthNKPredictor:
+    """The shipped ZoeD-M12-NK metric-depth checkpoint architecture
+    (BEiT-384 core + two-head latitude router, models/zoedepth_nk.py;
+    reference depth_predictor.py:277-319 with zoedepth_nk config).
+
+    Pass `state_dict` (the torch checkpoint's ["model"] as numpy arrays) to
+    load the released weights via convert_zoedepth_nk."""
+
+    def __init__(self, params=None, config=None, state_dict=None,
+                 size: Tuple[int, int] = (384, 512)):
+        from geodiffuser_tpu.models.zoedepth_nk import (
+            ZoeDepthNK, ZoeDepthNKConfig, convert_zoedepth_nk,
+        )
+
+        self.cfg = config or ZoeDepthNKConfig()
+        self.size = size
+        self.model = ZoeDepthNK(self.cfg)
+        if params is None:
+            if state_dict is not None:
+                params = convert_zoedepth_nk(state_dict, self.cfg)
+            else:
+                p = self.cfg.core.patch_size
+                params = self.model.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, p * 4, p * 4, 3))
+                )
+        self.params = params
+        self._apply = jax.jit(self.model.apply)
+
+    def __call__(self, image: np.ndarray, translate_factor: float = 0.0) -> np.ndarray:
+        img = np.asarray(image, np.float32)
+        if img.max() > 1.5:
+            img = img / 255.0
+        h, w = img.shape[:2]
+        p = self.cfg.core.patch_size
+        sh = max(self.size[0] // p, 2) * p
+        sw = max(self.size[1] // p, 2) * p
+        x = image_ops.resize_bilinear_hwc(jnp.asarray(img), sh, sw)
+        x = (x - IMAGENET_MEAN) / IMAGENET_STD
+        d = self._apply(self.params, x[None])[0]
+        d = np.asarray(image_ops.resize_bilinear(d, h, w))
+        if translate_factor:
+            d = d + d.max() * translate_factor
+        return d
+
+
 def get_depth_predictor(name: str = "depth_anything", **kw):
     """Depth-model registry (the reference's model dropdown,
     ui_utils.py:380-411: depth_anything | dpt_large | zoedepth | constant)."""
@@ -258,4 +303,6 @@ def get_depth_predictor(name: str = "depth_anything", **kw):
         return MidasDPTPredictor(**kw)
     if name == "zoedepth":
         return ZoeDepthPredictor(**kw)
+    if name in ("zoedepth_nk", "zoe_nk"):
+        return ZoeDepthNKPredictor(**kw)
     raise ValueError(f"unknown depth model {name}")
