@@ -42,6 +42,74 @@ class BatchEditResult:
     timings: Dict[str, float]
 
 
+def aot_compile_check(sess: "ShardedEditSession", n_edits: int) -> dict:
+    """AOT .lower().compile() of the sharded step programs at FULL size.
+
+    Validates the real 512^2 programs (grad-through-UNet optimize step, CFG
+    step, fused CFG tail) against the mesh without executing them — catches
+    shape/sharding bugs that tiny-shape dry runs miss (e.g. the dense
+    4096x4097 warp matrices under vmap).  Returns per-program compile
+    seconds.  ~3 min on a CPU host for the optimize program.
+    """
+    import time as _time
+
+    from geodiffuser_tpu.core import edit_state as es
+    from geodiffuser_tpu.ops import camera
+
+    pipe = sess.pipeline
+    cfg = sess.cfg
+    e = n_edits
+    h = w = pipe.image_size
+    lat = pipe.latent_size
+    mask = jnp.zeros((h, w)).at[h // 3: h // 2, h // 3: h // 2].set(1.0)
+    tc = camera.identity_field(h, w).at[..., 0].add(0.15)
+    amodal = jnp.zeros((h, w)).at[h // 3: h // 2, h // 4: h // 2].set(1.0)
+    resolutions = tuple(lat // (2 ** i) for i in range(4))
+    masks1 = es.build_mask_sets(
+        mask, tc, amodal, resolutions=resolutions,
+        mode=sess.mode, dilate_remover=cfg.mask_dilate_remover,
+    )
+    tile = lambda t: jax.tree.map(lambda x: jnp.broadcast_to(x[None], (e,) + x.shape), t)
+    masks = tile(masks1)
+    wm = tile(es.build_warp_matrices(masks1, 1.0, 1.0, cfg.splat.z_beta))
+
+    latents2 = jnp.zeros((e, 2, lat, lat, 4))
+    context4 = jnp.zeros((e, 4, 77, pipe.config.cross_attention_dim))
+    sgd = jax.vmap(optimization.init_sgd_state)(latents2[:, 1], context4[:, 3])
+    weights = {
+        b: {k: jnp.ones((e,), jnp.float32) for k in t_}
+        for b, t_ in cfg.resolved_loss_weights().items()
+    }
+    f32, i32, b_ = jnp.float32, jnp.int32, jnp.bool_
+    params = sess.pipeline.params["unet"]
+    timers = {}
+
+    t0 = _time.time()
+    sess._b_optimize.lower(
+        params, latents2, context4, i32(500), masks, i32(2), weights,
+        f32(1.0), f32(1.0), f32(cfg.lr), sgd, wm,
+    ).compile()
+    timers["optimize"] = _time.time() - t0
+
+    t0 = _time.time()
+    sess._b_cfg.lower(
+        params, latents2, context4, i32(500), masks, i32(2), weights,
+        f32(1.0), f32(1.0), latents2[:, :1], b_(True), wm,
+    ).compile()
+    timers["cfg"] = _time.time() - t0
+
+    k = 4
+    t0 = _time.time()
+    sess._b_cfg_tail.lower(
+        params, latents2, context4, masks,
+        jnp.zeros((k,), i32), jnp.arange(k, dtype=i32),
+        jnp.ones((k,), f32), jnp.ones((k,), f32),
+        jnp.zeros((e, k, 1, lat, lat, 4)), weights, wm,
+    ).compile()
+    timers["cfg_tail"] = _time.time() - t0
+    return timers
+
+
 class ShardedEditSession(EditSession):
     """EditSession whose device programs run E edits at once, dp-sharded."""
 
@@ -51,17 +119,27 @@ class ShardedEditSession(EditSession):
         edit_ax = NamedSharding(self.mesh, P("dp"))
         rep = NamedSharding(self.mesh, P())
 
-        # vmap in_axes: params None; latents/ctx/masks/weights/sgd batched;
-        # t/i/radius/tau/lr shared.
+        # vmap in_axes: params None; latents/ctx/masks/weights/sgd/warp_mats
+        # batched; t/i/radius/tau/lr shared.
         vopt = jax.vmap(
             self._optimize_step_impl,
-            in_axes=(None, 0, 0, None, 0, None, 0, None, None, None, 0),
+            in_axes=(None, 0, 0, None, 0, None, 0, None, None, None, 0, 0),
         )
         vcfg = jax.vmap(
             self._cfg_step_impl,
-            in_axes=(None, 0, 0, None, 0, None, 0, None, None, 0, None),
+            in_axes=(None, 0, 0, None, 0, None, 0, None, None, 0, None, 0),
+        )
+        vtail = jax.vmap(
+            self._cfg_tail_impl,
+            in_axes=(None, 0, 0, 0, None, None, None, None, 0, 0, 0),
         )
         vpre = jax.vmap(self._preprocess_impl, in_axes=(0, 0, 0, 0))
+        vwm = jax.vmap(
+            lambda masks, r, tau: edit_state.build_warp_matrices(
+                masks, r, tau, cfg.splat.z_beta
+            ),
+            in_axes=(0, None, None),
+        )
         vinv = jax.vmap(
             lambda params, latent, cu, cc: inversion.ddim_invert(
                 pipeline, params, latent, cu, cc,
@@ -74,8 +152,10 @@ class ShardedEditSession(EditSession):
         # arg shardings (GSPMD) — params replicated, edit-batched arrays on dp.
         self._b_optimize = jax.jit(vopt)
         self._b_cfg = jax.jit(vcfg)
+        self._b_cfg_tail = jax.jit(vtail)
         self._b_preprocess = jax.jit(vpre)
         self._b_invert = jax.jit(vinv)
+        self._b_warp_mats = jax.jit(vwm)
         self._edit_ax = edit_ax
         self._rep = rep
         self.pipeline = dataclasses.replace(
@@ -138,11 +218,19 @@ class ShardedEditSession(EditSession):
         ]
         sgd_state = jax.vmap(optimization.init_sgd_state)(latents2[:, 1], context4[:, 3])
         lr_first = optimization.effective_lr(cfg.lr, 0, cfg.skip_optim_steps, n)
-        radius = float(cfg.splat.radius)
-        tau = float(cfg.splat.tau)
         loss_log: Dict[int, Dict[str, np.ndarray]] = {}
         timesteps = sched.timesteps(n, self.pipeline.schedule.num_train_timesteps)
         t_loop = time.time()
+
+        # splat annealing schedule, precomputed (same semantics as the
+        # single-chip loop incl. the int() radius floor, editor.py:154-156)
+        radius_sched, tau_sched = [], []
+        r_, tau_ = float(cfg.splat.radius), float(cfg.splat.tau)
+        for _ in range(n):
+            r_ = max(1, int(r_ * cfg.splat.radius_decay))
+            tau_ = max(tau_ * cfg.splat.tau_decay, cfg.splat.tau_floor)
+            radius_sched.append(r_)
+            tau_sched.append(tau_)
 
         def stack_weights():
             return {
@@ -153,12 +241,34 @@ class ShardedEditSession(EditSession):
                 for b in defaults
             }
 
+        # warp operators depend only on (masks, radius, tau): build once per
+        # DISTINCT (radius, tau) — constant from ~step 11 at default decays —
+        # instead of rebuilding inside every jitted step
+        wm_cache: Dict = {}
+
+        def warp_mats_for(i):
+            key = (radius_sched[i], round(tau_sched[i], 6))
+            if key not in wm_cache:
+                wm_cache[key] = self._b_warp_mats(
+                    masks, jnp.float32(radius_sched[i]), jnp.float32(tau_sched[i])
+                )
+            return wm_cache[key]
+
+        # trailing CFG-only steps (past the optimize and latent-replace
+        # windows) run as ONE fused scan per the single-chip design
+        last_opt = max(
+            [i for i in range(n) if i < optimize_frac * n and i % cfg.skip_optim_steps == 0]
+            + [-1]
+        )
+        tail_start = max(last_opt + 1, int(np.ceil(cfg.latent_replace * n)))
+
         for i, t in enumerate(timesteps):
-            radius = max(1, int(radius * cfg.splat.radius_decay))
-            tau = max(tau * cfg.splat.tau_decay, cfg.splat.tau_floor)
+            if i == tail_start:
+                break
             wa = stack_weights()
-            r_j, tau_j = jnp.float32(radius), jnp.float32(tau)
+            r_j, tau_j = jnp.float32(radius_sched[i]), jnp.float32(tau_sched[i])
             t_j, i_j = jnp.int32(t), jnp.int32(i)
+            wm = warp_mats_for(i)
 
             do_optimize = (
                 i < optimize_frac * n
@@ -173,7 +283,7 @@ class ShardedEditSession(EditSession):
                 )
                 latents2, context4, sgd_state, log_vec = self._b_optimize(
                     self.pipeline.params["unet"], latents2, context4, t_j,
-                    masks, i_j, wa, r_j, tau_j, lr_eff, sgd_state,
+                    masks, i_j, wa, r_j, tau_j, lr_eff, sgd_state, wm,
                 )
                 log_np = np.asarray(log_vec)  # (E, 1+K) single fetch
                 log_keys = sorted(edit_attention.zero_logs().keys())
@@ -197,7 +307,21 @@ class ShardedEditSession(EditSession):
             do_replace = jnp.bool_(i < cfg.latent_replace * n)
             latents2 = self._b_cfg(
                 self.pipeline.params["unet"], latents2, context4, t_j,
-                masks, i_j, wa, r_j, tau_j, pinned, do_replace,
+                masks, i_j, wa, r_j, tau_j, pinned, do_replace, wm,
+            )
+
+        if tail_start < n:
+            idx = jnp.asarray([n - 1 - i for i in range(tail_start, n)])
+            pinned_stack = all_latents[:, idx]  # (E, k, 1, h, w, 4)
+            latents2 = self._b_cfg_tail(
+                self.pipeline.params["unet"], latents2, context4, masks,
+                jnp.asarray(np.asarray(timesteps[tail_start:], np.int32)),
+                jnp.arange(tail_start, n, dtype=jnp.int32),
+                jnp.asarray(radius_sched[tail_start:], jnp.float32),
+                jnp.asarray(tau_sched[tail_start:], jnp.float32),
+                pinned_stack,
+                stack_weights(),
+                warp_mats_for(tail_start),
             )
 
         _ = np.asarray(latents2[0, 0, 0, 0, :1])  # axon: fetch forces sync
