@@ -205,11 +205,91 @@ class MidasDPTPredictor:
         p = self.cfg.patch_size
         s = max(self.size // p, 2) * p
         x = image_ops.resize_bilinear_hwc(jnp.asarray(img), s, s)
-        x = (x - IMAGENET_MEAN) / IMAGENET_STD
+        # DPT models normalize with mean=std=0.5 (depth_predictor.py:128),
+        # NOT the ImageNet stats (those are midas_v21's, :173-175)
+        x = (x - 0.5) / 0.5
         d = self._apply(self.params, x[None])[0]
         d = image_ops.resize_bilinear(d, h, w)
         # MiDaS emits inverse depth (larger = closer); same postprocess
         return postprocess_relative_depth(np.asarray(d), translate_factor)
+
+
+class DPTHybridPredictor:
+    """dpt_hybrid / dpt_hybrid_kitti / dpt_hybrid_nyu paths of
+    get_monocular_depth (depth_predictor.py:130-168): 0.5/0.5 normalization,
+    ViT-B over a ResNetV2-50 stem; the kitti/nyu variants invert to metric
+    depth with their published scale/shift and multiply by 256/1000."""
+
+    VARIANTS = {
+        "dpt_hybrid": dict(scale=1.0, shift=0.0, invert=False, out_scale=1.0),
+        # depth_predictor.py:141-147 / :154-160, output scaling :244-248
+        "dpt_hybrid_kitti": dict(scale=0.00006016, shift=0.00579, invert=True,
+                                 out_scale=256.0),
+        "dpt_hybrid_nyu": dict(scale=0.000305, shift=0.1378, invert=True,
+                               out_scale=1000.0),
+    }
+
+    def __init__(self, params=None, config=None, variant: str = "dpt_hybrid",
+                 size: int = 384):
+        from geodiffuser_tpu.models.midas_dpt import DPTHybrid, DPTHybridConfig
+
+        v = self.VARIANTS[variant]
+        self.cfg = config or DPTHybridConfig(
+            scale=v["scale"], shift=v["shift"], invert=v["invert"]
+        )
+        self.out_scale = v["out_scale"]
+        self.invert = self.cfg.invert
+        self.size = size if config is None else 16 * self.cfg.pos_grid // 2
+        self.model = DPTHybrid(self.cfg)
+        if params is None:
+            params = self.model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+        self.params = params
+        self._apply = jax.jit(self.model.apply)
+
+    def __call__(self, image: np.ndarray, translate_factor: float = 0.0) -> np.ndarray:
+        img = np.asarray(image, np.float32)
+        if img.max() > 1.5:
+            img = img / 255.0
+        h, w = img.shape[:2]
+        s = max(self.size // 16, 2) * 16
+        x = image_ops.resize_bilinear_hwc(jnp.asarray(img), s, s)
+        x = (x - 0.5) / 0.5
+        d = self._apply(self.params, x[None])[0]
+        d = np.asarray(image_ops.resize_bilinear(d, h, w)) * self.out_scale
+        if self.invert:
+            # metric variants already return depth: push-back only
+            if translate_factor:
+                d = d + d.max() * translate_factor
+            return d
+        return postprocess_relative_depth(d, translate_factor)
+
+
+class MidasV21Predictor:
+    """midas_v21 path of get_monocular_depth (depth_predictor.py:169-175):
+    ImageNet normalization, ResNeXt101 MidasNet, inverse-depth output."""
+
+    def __init__(self, params=None, config=None, size: int = 384):
+        from geodiffuser_tpu.models.midas_dpt import MidasNetV21, MidasV21Config
+
+        self.cfg = config or MidasV21Config()
+        self.size = size
+        self.model = MidasNetV21(self.cfg)
+        if params is None:
+            params = self.model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        self.params = params
+        self._apply = jax.jit(self.model.apply)
+
+    def __call__(self, image: np.ndarray, translate_factor: float = 0.0) -> np.ndarray:
+        img = np.asarray(image, np.float32)
+        if img.max() > 1.5:
+            img = img / 255.0
+        h, w = img.shape[:2]
+        s = max(self.size // 32, 2) * 32
+        x = image_ops.resize_bilinear_hwc(jnp.asarray(img), s, s)
+        x = (x - IMAGENET_MEAN) / IMAGENET_STD
+        d = self._apply(self.params, x[None])[0]
+        d = np.asarray(image_ops.resize_bilinear(d, h, w))
+        return postprocess_relative_depth(d, translate_factor)
 
 
 class ZoeDepthPredictor:
@@ -301,6 +381,10 @@ def get_depth_predictor(name: str = "depth_anything", **kw):
         return DepthAnythingPredictor(**kw)
     if name in ("dpt_large", "midas"):
         return MidasDPTPredictor(**kw)
+    if name in ("dpt_hybrid", "dpt_hybrid_kitti", "dpt_hybrid_nyu"):
+        return DPTHybridPredictor(variant=name, **kw)
+    if name == "midas_v21":
+        return MidasV21Predictor(**kw)
     if name == "zoedepth":
         return ZoeDepthPredictor(**kw)
     if name in ("zoedepth_nk", "zoe_nk"):
