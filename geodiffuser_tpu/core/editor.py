@@ -262,7 +262,9 @@ class EditSession:
 
         # --- preprocessing: transform field + masks (one compiled program)
         tf, masks = self._preprocess(image_j, depth_j, mask_j, transform_j)
-        self._warn_row_budget(masks)
+        # NOTE: the row-budget warning (_warn_row_budget) is emitted after the
+        # edit loop — fetching the overflow flag here would force a host sync
+        # on the critical path (~1 s/edit through the axon tunnel)
 
         # --- text + image encoders
         ctx_cond = self.pipeline.encode_text([prompt])
@@ -444,6 +446,7 @@ class EditSession:
         # before execution finishes; a tiny device_get drains the FIFO queue
         _ = np.asarray(latents2[0, 0, 0, :1])
         timings["edit_loop"] = time.time() - t_loop
+        self._warn_row_budget(masks)
 
         # --- decode + histogram-matching post-process (editor.py:660-694)
         t_post = time.time()

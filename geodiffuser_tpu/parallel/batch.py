@@ -187,7 +187,7 @@ class ShardedEditSession(EditSession):
         imgs, dep, msk, tra = put(imgs), put(dep), put(msk), put(tra)
 
         tf, masks = self._b_preprocess(imgs, dep, msk, tra)
-        self._warn_row_budget(masks)
+        # row-budget warning deferred to loop end (avoids a host sync here)
 
         ctx_cond = put(jnp.stack([self.pipeline.encode_text([p])[0] for p in prompts]))
         ctx_uncond = put(jnp.tile(self.pipeline.encode_text([cfg.uncond_text]), (e, 1, 1)))
@@ -326,6 +326,7 @@ class ShardedEditSession(EditSession):
 
         _ = np.asarray(latents2[0, 0, 0, 0, :1])  # axon: fetch forces sync
         timings["edit_loop"] = time.time() - t_loop
+        self._warn_row_budget(masks)
 
         t_post = time.time()
         flat = latents2.reshape(e * 2, *latents2.shape[2:])

@@ -72,3 +72,63 @@ def test_study_csv_and_gallery(tmp_path):
     out = study.build_gallery(str(tmp_path), str(tmp_path / "gallery.png"))
     import os
     assert os.path.exists(out)
+
+
+def test_evaluation_cli_offline_and_json(tmp_path):
+    """python -m geodiffuser_tpu.evaluation over a synthetic experiment tree
+    (reference workflow: evaluation/eval.txt) — offline metrics always work;
+    weight-gated ones degrade gracefully."""
+    import json
+
+    import numpy as np
+
+    from geodiffuser_tpu.evaluation.__main__ import main
+    from geodiffuser_tpu.ops import camera
+    from geodiffuser_tpu.utils import exp_io
+
+    rng = np.random.RandomState(0)
+    size = 32
+    for cat, n in (("Translation_2D", 2), ("Rotation_3D", 1)):
+        for i in range(n):
+            folder = str(tmp_path / cat / str(i))
+            img = (rng.rand(size, size, 3) * 255).astype(np.uint8)
+            mask = np.zeros((size, size), np.float32)
+            mask[8:16, 8:16] = 1.0
+            depth = np.full((size, size), 0.5, np.float32)
+            t = camera.compose_transform(tx=0.05)
+            exp_io.save_exp(folder, img, depth, mask, t, image_shape=(size, size))
+            from PIL import Image
+
+            Image.fromarray(img).save(folder + "/result_ls.png")
+            # one baseline-method result (reference folder layout)
+            import os
+            os.makedirs(folder + "/zero123", exist_ok=True)
+            Image.fromarray(img).save(
+                folder + "/zero123/lama_followed_by_zero123_result.png"
+            )
+
+    out = str(tmp_path / "summary.json")
+    rc = main(["--exp_root", str(tmp_path), "--metric", "offline", "--output", out])
+    assert rc == 0
+    summary = json.load(open(out))
+    assert "Translation_2D/ours" in summary
+    assert "Translation_2D/zero123" in summary
+    assert "Rotation_3D/ours" in summary
+    # identical image -> warp error small but nonzero (splat blur), ssim ~ 1
+    assert summary["Translation_2D/ours"]["ssim"] > 0.99
+
+    # weight-gated path degrades to psnr/ssim without raising
+    rc = main(["--exp_root", str(tmp_path), "--metric", "lpips",
+               "--evaluation_type", "2D", "--output", out])
+    assert rc == 0
+    summary = json.load(open(out))
+    assert set(summary) == {"Translation_2D/ours", "Translation_2D/zero123"}
+    assert "psnr" in summary["Translation_2D/ours"]
+    assert "lpips" not in summary["Translation_2D/ours"]
+
+    # md without weights -> warp-only, skips non-md categories
+    rc = main(["--exp_root", str(tmp_path), "--metric", "md", "--output", out])
+    assert rc == 0
+    summary = json.load(open(out))
+    assert "Translation_2D/ours" in summary
+    assert "warp_l1" in summary["Translation_2D/ours"]
