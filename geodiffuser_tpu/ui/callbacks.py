@@ -26,6 +26,9 @@ from geodiffuser_tpu.utils import exp_io
 ORANGE = np.array([255, 165, 0], np.uint8)
 OLIVE = np.array([128, 128, 0], np.uint8)
 
+# experiment categories (ui_utils.py:901-905), re-exported for the app layer
+CATEGORIES = exp_io.CATEGORIES
+
 
 @dataclasses.dataclass
 class UIState:
@@ -39,9 +42,95 @@ class UIState:
     transform: np.ndarray = dataclasses.field(default_factory=lambda: np.eye(4))
     image_shape: Tuple[int, int] = (512, 512)
     sam_predictor: object = None
-    depth_predictor: object = None
+    depth_predictor: object = None           # default ("depth_anything") backend
+    depth_predictors: dict = dataclasses.field(default_factory=dict)  # per-model cache
     pipeline: object = None
     sessions: dict = dataclasses.field(default_factory=dict)
+
+
+@dataclasses.dataclass
+class AdvancedOptions:
+    """The reference UI's advanced-accordion knob surface
+    (geo_diff_ui.py:291-527), mapped 1:1 onto EditConfig.
+
+    `diffusion_correction` follows the reference mapping
+    obj_edit_step = 1 - diffusion_correction (ui_utils.py:613).
+    Loss weights of None keep the per-edit-type tuned defaults
+    (config.EDITOR_LOSS_WEIGHTS / REMOVER_LOSS_WEIGHTS)."""
+
+    guidance_scale: float = 3.0
+    cross_replace_steps: float = 0.97
+    self_replace_steps: float = 0.97
+    skip_steps: int = 2
+    latent_replace: float = 0.1
+    optimize_steps: float = 0.65
+    fast_optim_steps: float = 0.0            # fast_start_steps fraction
+    num_first_optim_steps: int = 1
+    num_ddim_steps: int = 50
+    lr: float = 0.03
+    splatting_radius: float = 1.3
+    splatting_tau: float = 1.0
+    splatting_points_per_pixel: int = 15
+    cam_focal_length: float = 550.0
+    diffusion_correction: float = 0.1
+    removal_loss_adaptive_value: float = -1.5
+    # per-loss weights (geo_diff_ui.py:430-527); None -> tuned defaults
+    sim_loss_self: Optional[float] = None        # background preservation
+    sim_loss_cross: Optional[float] = None
+    movement_loss_self: Optional[float] = None   # object placement
+    movement_loss_cross: Optional[float] = None
+    removal_loss_self: Optional[float] = None
+    removal_loss_cross: Optional[float] = None
+    amodal_loss_self: Optional[float] = None
+    amodal_loss_cross: Optional[float] = None
+    smoothness_loss_self: Optional[float] = None
+    smoothness_loss_cross: Optional[float] = None
+
+    def loss_weight_table(self, edit_type: str):
+        from geodiffuser_tpu.config import EDITOR_LOSS_WEIGHTS, REMOVER_LOSS_WEIGHTS
+
+        base = REMOVER_LOSS_WEIGHTS if edit_type == "geometry_remover" else EDITOR_LOSS_WEIGHTS
+        table = {b: dict(t) for b, t in base.items()}
+        names = {
+            "sim": (self.sim_loss_self, self.sim_loss_cross),
+            "movement": (self.movement_loss_self, self.movement_loss_cross),
+            "removal": (self.removal_loss_self, self.removal_loss_cross),
+            "amodal": (self.amodal_loss_self, self.amodal_loss_cross),
+            "smoothness": (self.smoothness_loss_self, self.smoothness_loss_cross),
+        }
+        overridden = False
+        for key, (s, c) in names.items():
+            if s is not None and key in table["self"]:
+                table["self"][key] = float(s)
+                overridden = True
+            if c is not None and key in table["cross"]:
+                table["cross"][key] = float(c)
+                overridden = True
+        return table if overridden else None
+
+    def to_edit_config(self, edit_type: str = "geometry_editor") -> EditConfig:
+        return EditConfig(
+            edit_type=edit_type,
+            guidance_scale=self.guidance_scale,
+            cross_replace_steps=self.cross_replace_steps,
+            self_replace_steps=self.self_replace_steps,
+            skip_optim_steps=int(self.skip_steps),
+            latent_replace=self.latent_replace,
+            optimize_steps=self.optimize_steps,
+            fast_start_steps=self.fast_optim_steps,
+            num_first_optim_steps=int(self.num_first_optim_steps),
+            num_ddim_steps=int(self.num_ddim_steps),
+            lr=self.lr,
+            focal_length=self.cam_focal_length,
+            obj_edit_step=1.0 - self.diffusion_correction,
+            removal_loss_value=self.removal_loss_adaptive_value,
+            splat=SplatConfig(
+                radius=self.splatting_radius,
+                tau=self.splatting_tau,
+                points_per_pixel=int(self.splatting_points_per_pixel),
+            ),
+            loss_weights=self.loss_weight_table(edit_type),
+        )
 
 
 def load_image(state: UIState, image: np.ndarray, size: int = 512) -> np.ndarray:
@@ -71,6 +160,14 @@ def set_mask(state: UIState, mask: np.ndarray) -> np.ndarray:
     return state.mask
 
 
+# the reference dropdown exposes every depth_predictor.py backend
+# (ui_utils.py:380-411 + depth_predictor.py:105-370)
+DEPTH_MODELS = (
+    "depth_anything", "dpt_large", "dpt_hybrid", "dpt_hybrid_kitti",
+    "dpt_hybrid_nyu", "midas_v21", "zoedepth", "zoedepth_nk", "constant",
+)
+
+
 def get_depth(
     state: UIState, model: str = "depth_anything", translate_factor: float = 0.7
 ) -> np.ndarray:
@@ -79,12 +176,17 @@ def get_depth(
     h, w = state.image.shape[:2]
     if model == "constant":
         state.depth = depth_utils.constant_depth(h, w)
-    elif model == "depth_anything":
-        if state.depth_predictor is None:
-            raise RuntimeError("no depth predictor configured")
-        state.depth = state.depth_predictor(state.image, translate_factor=translate_factor)
-    else:
-        raise ValueError(f"unknown depth model {model}")
+        return depth_utils.depth_scaler(state.depth)
+    if model not in DEPTH_MODELS:
+        raise ValueError(f"unknown depth model {model}; options: {DEPTH_MODELS}")
+    pred = state.depth_predictors.get(model)
+    if pred is None:
+        if model == "depth_anything" and state.depth_predictor is not None:
+            pred = state.depth_predictor
+        else:
+            pred = depth_utils.get_depth_predictor(model)
+        state.depth_predictors[model] = pred
+    state.depth = pred(state.image, translate_factor=translate_factor)
     return depth_utils.depth_scaler(state.depth)
 
 
@@ -140,34 +242,51 @@ def get_transformed_preview(
 def _get_session(state: UIState, cfg: EditConfig):
     from geodiffuser_tpu.core.editor import EditSession
 
-    key = (cfg.edit_type, cfg.num_ddim_steps)
+    # key on the FULL config: most knobs are baked into the compiled step
+    # programs (guidance scale, schedules, loss tables), so a coarser key
+    # would silently reuse stale programs after an accordion change
+    key = repr(cfg)
     if key not in state.sessions:
         state.sessions[key] = EditSession(state.pipeline, cfg)
     return state.sessions[key]
 
 
 def get_edited_image(
-    state: UIState, prompt: str = "", cfg: Optional[EditConfig] = None, progress=None
+    state: UIState, prompt: str = "", cfg: Optional[EditConfig] = None,
+    adv: Optional[AdvancedOptions] = None, progress=None,
 ) -> np.ndarray:
-    """"Move Object" (ui_utils.py:589-616)."""
+    """"Move Object" (ui_utils.py:589-616); the full advanced-accordion knob
+    surface passes through via `adv` (geo_diff_ui.py:291-527)."""
     assert state.image is not None and state.mask is not None and state.depth is not None
-    cfg = cfg or EditConfig()
+    if cfg is None:
+        cfg = (adv or AdvancedOptions()).to_edit_config("geometry_editor")
     sess = _get_session(state, cfg)
     res = sess.run(state.image, state.depth, state.mask, state.transform,
                    prompt=prompt, progress=progress)
     return res.edited_image
 
 
+# remover knob defaults used by the reference inpaint tab
+# (geo_diff_ui.py inpaint accordion + ui_utils.py:619-651)
+REMOVER_ADVANCED_DEFAULTS = dict(
+    guidance_scale=5.0, optimize_steps=0.85, latent_replace=0.4,
+    cross_replace_steps=0.9, self_replace_steps=0.9,
+)
+
+
 def inpaint_mask(
-    state: UIState, prompt: str = "", cfg: Optional[EditConfig] = None, progress=None
+    state: UIState, prompt: str = "", cfg: Optional[EditConfig] = None,
+    adv: Optional[AdvancedOptions] = None, progress=None,
 ) -> np.ndarray:
     """"Inpaint Mask" (ui_utils.py:619-651): constant depth, identity
-    transform, remover controller."""
+    transform, remover controller; `adv` threads the accordion knobs
+    through instead of hardcoding the tab defaults."""
     assert state.image is not None and state.mask is not None
     h, w = state.image.shape[:2]
-    cfg = cfg or EditConfig(edit_type="geometry_remover", guidance_scale=5.0,
-                            optimize_steps=0.85, latent_replace=0.4,
-                            cross_replace_steps=0.9, self_replace_steps=0.9)
+    if cfg is None:
+        if adv is None:
+            adv = AdvancedOptions(**REMOVER_ADVANCED_DEFAULTS)
+        cfg = adv.to_edit_config("geometry_remover")
     sess = _get_session(state, cfg)
     res = sess.run(
         state.image, depth_utils.constant_depth(h, w), state.mask, np.eye(4),

@@ -84,3 +84,54 @@ def test_app_gated_without_gradio():
 
     with pytest.raises((RuntimeError, ImportError)):
         app.build_app()
+
+
+@pytest.mark.fast
+def test_advanced_options_to_edit_config():
+    """AdvancedOptions maps the reference accordion (geo_diff_ui.py:291-527)
+    onto EditConfig, incl. obj_edit_step = 1 - diffusion_correction
+    (ui_utils.py:613) and loss-weight overrides."""
+    from geodiffuser_tpu.ui.callbacks import AdvancedOptions
+
+    adv = AdvancedOptions(
+        guidance_scale=5.5, diffusion_correction=0.25, skip_steps=3,
+        splatting_radius=2.0, sim_loss_self=99.0,
+    )
+    cfg = adv.to_edit_config("geometry_editor")
+    assert cfg.guidance_scale == 5.5
+    assert abs(cfg.obj_edit_step - 0.75) < 1e-9
+    assert cfg.skip_optim_steps == 3
+    assert cfg.splat.radius == 2.0
+    w = cfg.resolved_loss_weights()
+    assert w["self"]["sim"] == 99.0
+    # untouched entries keep the tuned defaults
+    from geodiffuser_tpu.config import EDITOR_LOSS_WEIGHTS
+
+    assert w["cross"]["sim"] == EDITOR_LOSS_WEIGHTS["cross"]["sim"]
+
+    # no overrides -> None (per-edit-type defaults resolve downstream)
+    assert AdvancedOptions().to_edit_config("geometry_remover").loss_weights is None
+
+
+@pytest.mark.fast
+def test_get_depth_registry_dispatch():
+    """get_depth accepts every reference depth backend name and errors
+    helpfully otherwise."""
+    from geodiffuser_tpu.ui import callbacks as cb
+
+    state = cb.UIState()
+    state.image = (np.random.RandomState(0).rand(32, 32, 3) * 255).astype(np.uint8)
+    d = cb.get_depth(state, "constant")
+    assert d.shape == (32, 32)
+
+    from geodiffuser_tpu.models.midas_dpt import MidasV21Config
+    from geodiffuser_tpu.utils.depth import MidasV21Predictor
+
+    state.depth_predictors["midas_v21"] = MidasV21Predictor(
+        config=MidasV21Config.tiny(), size=64
+    )
+    d = cb.get_depth(state, "midas_v21")
+    assert d.shape == (32, 32) and np.isfinite(d).all()
+
+    with pytest.raises(ValueError):
+        cb.get_depth(state, "not_a_model")
