@@ -266,3 +266,97 @@ def apply_warp_matrix(mat: jnp.ndarray, src: jnp.ndarray) -> jnp.ndarray:
     out = jnp.dot(mat, src.reshape(h * w, c).astype(mat.dtype),
                   preferred_element_type=jnp.float32)
     return out.reshape(side, side, c).astype(src.dtype)
+
+
+# ---------------------------------------------------------------------------
+# softsplat (summation splatting) mode parity.
+#
+# Reference: GeoDiffuser/utils/softsplat.py:232-273 (dispatcher) + the CUDA
+# scatter kernel :277-354.  Forward = bilinear scatter-add of the input along
+# a pixel-offset flow field; modes wrap it with a normalization channel:
+#   sum     raw scatter-add                       (metric unused)
+#   avg     append a ones channel, divide by it
+#   linear  splat (in*metric | metric), divide
+#   soft    splat (in*e^metric | e^metric), divide
+# The reference's hand-written backward (softsplat.py:357-520) exists only
+# because CUDA kernels aren't differentiable; here the scatter-add is a
+# native XLA op whose transpose IS that analytic gradient, so jax.grad gives
+# the same VJP for free (verified by tests/test_splat.py check_grads).
+# ---------------------------------------------------------------------------
+
+
+def _bilinear_scatter(src: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, C) src + (H, W, 2) pixel-offset flow -> (H, W, C) scatter-add.
+
+    Out-of-bounds corners are dropped (mode='drop'), matching the kernel's
+    bounds checks (softsplat.py:316-341).
+    """
+    h, w, c = src.shape
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    tx = xx + flow[..., 0]
+    ty = yy + flow[..., 1]
+    x0 = jnp.floor(tx)
+    y0 = jnp.floor(ty)
+    out = jnp.zeros((h * w, c), src.dtype)
+    flat = src.reshape(h * w, c)
+    for dy in (0.0, 1.0):
+        for dx in (0.0, 1.0):
+            cx = x0 + dx
+            cy = y0 + dy
+            # per-axis bounds mask: a flat index would let column overflow
+            # wrap into the next row (softsplat.py:316-341 bounds-checks both)
+            valid = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+            wgt = ((1.0 - jnp.abs(tx - cx)) * (1.0 - jnp.abs(ty - cy)))
+            wgt = jnp.where(valid, wgt, 0.0).reshape(-1, 1)
+            idx = jnp.where(valid, cy * w + cx, -1).astype(jnp.int32).reshape(-1)
+            out = out.at[idx].add(
+                flat * wgt, mode="drop",
+                indices_are_sorted=False, unique_indices=False,
+            )
+    return out.reshape(h, w, c)
+
+
+def softsplat(
+    src: jnp.ndarray,
+    flow: jnp.ndarray,
+    metric: jnp.ndarray | None = None,
+    mode: str = "soft",
+) -> jnp.ndarray:
+    """Differentiable forward warping, reference mode semantics
+    (softsplat.py:232-273).  src (H, W, C), flow (H, W, 2) in pixels,
+    metric (H, W) or (H, W, 1); eps variants: '<mode>-addeps' (default for
+    bare avg/linear/soft), '<mode>-zeroeps', '<mode>-clipeps'."""
+    base, _, eps_kind = mode.partition("-")
+    if base not in ("sum", "avg", "linear", "soft"):
+        raise ValueError(f"unknown softsplat mode {mode!r}")
+    if base in ("sum", "avg"):
+        assert metric is None, f"mode {base} takes no metric"
+    else:
+        assert metric is not None, f"mode {base} needs a metric"
+    if metric is not None and metric.ndim == 2:
+        metric = metric[..., None]
+
+    if base == "sum":
+        return _bilinear_scatter(src, flow)
+    if base == "avg":
+        stacked = jnp.concatenate([src, jnp.ones_like(src[..., :1])], axis=-1)
+    elif base == "linear":
+        stacked = jnp.concatenate([src * metric, metric], axis=-1)
+    else:  # soft
+        e = jnp.exp(metric)
+        stacked = jnp.concatenate([src * e, e], axis=-1)
+
+    out = _bilinear_scatter(stacked, flow)
+    norm = out[..., -1:]
+    if eps_kind in ("", "addeps"):
+        norm = norm + 1e-7
+    elif eps_kind == "zeroeps":
+        norm = jnp.where(norm == 0.0, 1.0, norm)
+    elif eps_kind == "clipeps":
+        norm = jnp.clip(norm, 1e-7, None)
+    else:
+        raise ValueError(f"unknown softsplat eps variant {mode!r}")
+    return out[..., :-1] / norm

@@ -94,3 +94,79 @@ def test_warp_matrix_matches_splat_image():
     mat = splat.warp_matrix(coords, radius=1.3, tau=0.8, z_beta=20.0)
     via_mat = splat.apply_warp_matrix(mat, img)
     np.testing.assert_allclose(np.asarray(via_mat), np.asarray(direct), atol=2e-5)
+
+
+@pytest.mark.fast
+def test_softsplat_modes_golden():
+    """softsplat mode parity (softsplat.py:232-273) vs a numpy scatter
+    reference, incl. integer-shift exactness and eps variants."""
+    from geodiffuser_tpu.ops.splat import softsplat
+
+    rng = np.random.RandomState(0)
+    h = w = 8
+    src = jnp.asarray(rng.rand(h, w, 3), jnp.float32)
+    # integer shift by (+2, +1): sum mode must be an exact index shift
+    flow = jnp.broadcast_to(jnp.asarray([2.0, 1.0]), (h, w, 2))
+    out = np.asarray(softsplat(src, flow, mode="sum"))
+    np.testing.assert_allclose(out[1:, 2:], np.asarray(src)[:-1, :-2], atol=1e-6)
+    assert np.abs(out[0]).max() == 0.0  # vacated rows are empty
+
+    # avg on an integer shift divides by the ones channel -> same values
+    out_avg = np.asarray(softsplat(src, flow, mode="avg"))
+    np.testing.assert_allclose(out_avg[1:, 2:], np.asarray(src)[:-1, :-2], atol=1e-5)
+
+    # numpy golden for fractional flow, all modes
+    flow_f = jnp.asarray(rng.rand(h, w, 2) * 1.5, jnp.float32)
+    metric = jnp.asarray(rng.randn(h, w), jnp.float32)
+
+    def np_scatter(arr):
+        acc = np.zeros((h, w, arr.shape[-1]), np.float64)
+        for y in range(h):
+            for x in range(w):
+                tx, ty = x + flow_f[y, x, 0], y + flow_f[y, x, 1]
+                x0, y0 = int(np.floor(tx)), int(np.floor(ty))
+                for cy in (y0, y0 + 1):
+                    for cx in (x0, x0 + 1):
+                        if 0 <= cy < h and 0 <= cx < w:
+                            wgt = (1 - abs(tx - cx)) * (1 - abs(ty - cy))
+                            acc[cy, cx] += wgt * np.asarray(arr[y, x], np.float64)
+        return acc
+
+    s = np.asarray(src)
+    m = np.asarray(metric)[..., None]
+    golden_sum = np_scatter(src)
+    np.testing.assert_allclose(
+        np.asarray(softsplat(src, flow_f, mode="sum")), golden_sum, atol=1e-5
+    )
+    num = np_scatter(jnp.asarray(s * np.exp(m)))
+    den = np_scatter(jnp.asarray(np.exp(m)))
+    np.testing.assert_allclose(
+        np.asarray(softsplat(src, flow_f, metric, mode="soft")),
+        num / (den + 1e-7), atol=1e-4,
+    )
+    num_l = np_scatter(jnp.asarray(s * m))
+    den_l = np_scatter(jnp.asarray(m))
+    np.testing.assert_allclose(
+        np.asarray(softsplat(src, flow_f, metric, mode="linear-zeroeps")),
+        num_l / np.where(den_l == 0.0, 1.0, den_l), atol=1e-4,
+    )
+
+
+@pytest.mark.fast
+def test_softsplat_grads():
+    """The XLA scatter transpose reproduces the reference's analytic VJP
+    for both the input and the flow (softsplat.py:357-520)."""
+    from jax.test_util import check_grads
+
+    from geodiffuser_tpu.ops.splat import softsplat
+
+    rng = np.random.RandomState(1)
+    src = jnp.asarray(rng.rand(5, 5, 2), jnp.float32)
+    flow = jnp.asarray(rng.rand(5, 5, 2) * 0.7 + 0.1, jnp.float32)
+    metric = jnp.asarray(rng.randn(5, 5), jnp.float32)
+    check_grads(lambda s, f: softsplat(s, f, mode="sum").sum() ** 2,
+                (src, flow), order=1, modes=["rev"], atol=2e-2, rtol=2e-2)
+    check_grads(
+        lambda s, f, m: (softsplat(s, f, m, mode="soft") ** 2).sum(),
+        (src, flow, metric), order=1, modes=["rev"], atol=2e-2, rtol=2e-2,
+    )
