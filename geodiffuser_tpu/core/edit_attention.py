@@ -169,7 +169,7 @@ def removal_loss_fused(
     rows, row_mask = ms.inpaint_rows, ms.inpaint_row_mask
     qe_rows = q_e[:, rows]
     p_in, p_bg, _, j_bg = rc.removal_correlation(
-        qe_rows, k_r, sg(q_b), sg(k_b), ms.inpaint, ms.background, scale
+        qe_rows, k_r, sg(q_b), sg(k_b), ms.inpaint, ms.background, row_mask, scale
     )
     d_bg = ms.distance[rows[None, :], j_bg]              # (h, K)
     return _removal_per_row_loss(p_in, p_bg, d_bg, row_mask, ms.inpaint.sum(), h)

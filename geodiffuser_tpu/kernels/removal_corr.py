@@ -44,11 +44,13 @@ MASKED = -1e9  # filler for mask-excluded correlations (edit_attention.py)
 
 
 def _corr_kernel(
+    active_ref,
     qe_ref, ke_ref, qb_ref, kb_ref, inp_ref, bg_ref,
     p_in_ref, j_in_ref, p_bg_ref, j_bg_ref,
     c_scr, me_scr, le_scr, mb_scr, lb_scr,
     *, scale, k_steps, j_steps, block_j, lk_valid, block_k,
 ):
+    i_i = pl.program_id(1)
     j_i = pl.program_id(2)
     k_i = pl.program_id(3)
 
@@ -59,67 +61,74 @@ def _corr_kernel(
         j_in_ref[:] = jnp.zeros_like(j_in_ref)
         j_bg_ref[:] = jnp.zeros_like(j_bg_ref)
 
-    @pl.when(k_i == 0)
-    def _init_acc():
-        c_scr[:] = jnp.zeros_like(c_scr)
-        me_scr[:] = jnp.full_like(me_scr, NEG_INF)
-        le_scr[:] = jnp.zeros_like(le_scr)
-        mb_scr[:] = jnp.full_like(mb_scr, NEG_INF)
-        lb_scr[:] = jnp.zeros_like(lb_scr)
+    # Row-block activity (scalar-prefetched): the static row budget is sized
+    # for the worst case (seq//2 remover), but top_k puts all REAL inpaint
+    # rows first, so typical edits fill only the first block(s).  Skipping
+    # the whole (j, k) sweep for inactive blocks makes the kernel cost
+    # proportional to the actual mask, not the budget.
+    @pl.when(active_ref[i_i] > 0)
+    def _work():
+        @pl.when(k_i == 0)
+        def _init_acc():
+            c_scr[:] = jnp.zeros_like(c_scr)
+            me_scr[:] = jnp.full_like(me_scr, NEG_INF)
+            le_scr[:] = jnp.zeros_like(le_scr)
+            mb_scr[:] = jnp.full_like(mb_scr, NEG_INF)
+            lb_scr[:] = jnp.zeros_like(lb_scr)
 
-    qe = qe_ref[0]                                      # (BI, Dp)
-    ke = ke_ref[0]                                      # (BK, Dp)
-    qb = qb_ref[0]                                      # (BJ, Dp)
-    kb = kb_ref[0]                                      # (BK, Dp)
+        qe = qe_ref[0]                                      # (BI, Dp)
+        ke = ke_ref[0]                                      # (BK, Dp)
+        qb = qb_ref[0]                                      # (BJ, Dp)
+        kb = kb_ref[0]                                      # (BK, Dp)
 
-    # key-column validity (cross-attention pads Lk=77 to 128 lanes)
-    col = k_i * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, ke.shape[0]), 1)
-    col_ok = col < lk_valid                             # (1, BK)
+        # key-column validity (cross-attention pads Lk=77 to 128 lanes)
+        col = k_i * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, ke.shape[0]), 1)
+        col_ok = col < lk_valid                             # (1, BK)
 
-    def online(q, k, m_scr, l_scr):
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale                                       # (B, BK)
-        s = jnp.where(col_ok, s, NEG_INF)
-        m_prev = m_scr[:]                               # (B, 1)
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        e = jnp.exp(s - m_new)                          # (B, BK); invalid cols -> 0
-        alpha = jnp.exp(m_prev - m_new)                 # (B, 1)
-        l_scr[:] = alpha * l_scr[:] + jnp.sum(e, axis=-1, keepdims=True)
-        m_scr[:] = m_new
-        return e, alpha
+        def online(q, k, m_scr, l_scr):
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale                                       # (B, BK)
+            s = jnp.where(col_ok, s, NEG_INF)
+            m_prev = m_scr[:]                               # (B, 1)
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            e = jnp.exp(s - m_new)                          # (B, BK); invalid cols -> 0
+            alpha = jnp.exp(m_prev - m_new)                 # (B, 1)
+            l_scr[:] = alpha * l_scr[:] + jnp.sum(e, axis=-1, keepdims=True)
+            m_scr[:] = m_new
+            return e, alpha
 
-    e_e, alpha_e = online(qe, ke, me_scr, le_scr)
-    e_b, alpha_b = online(qb, kb, mb_scr, lb_scr)
+        e_e, alpha_e = online(qe, ke, me_scr, le_scr)
+        e_b, alpha_b = online(qb, kb, mb_scr, lb_scr)
 
-    # both running maxes may move: rescale the prior accumulation by
-    # alpha_e per row (edit axis) AND alpha_b per column (base axis)
-    c_scr[:] = c_scr[:] * alpha_e * alpha_b[:, 0][None, :] + jax.lax.dot_general(
-        e_e.astype(jnp.bfloat16), e_b.astype(jnp.bfloat16),
-        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-    )
+        # both running maxes may move: rescale the prior accumulation by
+        # alpha_e per row (edit axis) AND alpha_b per column (base axis)
+        c_scr[:] = c_scr[:] * alpha_e * alpha_b[:, 0][None, :] + jax.lax.dot_general(
+            e_e.astype(jnp.bfloat16), e_b.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )
 
-    @pl.when(k_i == k_steps - 1)
-    def _reduce():
-        corr = c_scr[:] / (le_scr[:] * lb_scr[:][:, 0][None, :])   # (BI, BJ)
-        bi, bj = corr.shape
-        col_j = jax.lax.broadcasted_iota(jnp.int32, (bi, bj), 1)
-        j_glob = j_i * block_j + col_j
+        @pl.when(k_i == k_steps - 1)
+        def _reduce():
+            corr = c_scr[:] / (le_scr[:] * lb_scr[:][:, 0][None, :])   # (BI, BJ)
+            bi, bj = corr.shape
+            col_j = jax.lax.broadcasted_iota(jnp.int32, (bi, bj), 1)
+            j_glob = j_i * block_j + col_j
 
-        def merge(mask_row, p_ref, j_ref):
-            cm = jnp.where((mask_row > 0.5)[None, :], corr, MASKED)
-            m = jnp.max(cm, axis=-1, keepdims=True)                 # (BI, 1)
-            # first-occurrence argmax (torch semantics)
-            idx = jnp.min(
-                jnp.where(cm == m, j_glob, jnp.int32(2**30)), axis=-1, keepdims=True
-            )
-            cur = p_ref[0]
-            better = m > cur
-            p_ref[0] = jnp.where(better, m, cur)
-            j_ref[0] = jnp.where(better, idx, j_ref[0])
+            def merge(mask_row, p_ref, j_ref):
+                cm = jnp.where((mask_row > 0.5)[None, :], corr, MASKED)
+                m = jnp.max(cm, axis=-1, keepdims=True)                 # (BI, 1)
+                # first-occurrence argmax (torch semantics)
+                idx = jnp.min(
+                    jnp.where(cm == m, j_glob, jnp.int32(2**30)), axis=-1, keepdims=True
+                )
+                cur = p_ref[0]
+                better = m > cur
+                p_ref[0] = jnp.where(better, m, cur)
+                j_ref[0] = jnp.where(better, idx, j_ref[0])
 
-        merge(inp_ref[0], p_in_ref, j_in_ref)
-        merge(bg_ref[0], p_bg_ref, j_bg_ref)
+            merge(inp_ref[0], p_in_ref, j_in_ref)
+            merge(bg_ref[0], p_bg_ref, j_bg_ref)
 
 
 def _pad_to(x, axis, mult):
@@ -139,7 +148,7 @@ def _pick_block(n, pref):
     return max(b, 1)
 
 
-def _corr_pallas(qe, ke, qb, kb, inpaint, background, scale, interpret):
+def _corr_pallas(qe, ke, qb, kb, inpaint, background, row_mask, scale, interpret):
     h, k_rows, d = qe.shape
     l = qb.shape[1]
     lk = ke.shape[1]
@@ -156,7 +165,7 @@ def _corr_pallas(qe, ke, qb, kb, inpaint, background, scale, interpret):
     qe_p = _pad_to(qe_p, 1, 8)
     kp = qe_p.shape[1]
 
-    bi = _pick_block(kp, 512)
+    bi = _pick_block(kp, 256)
     bj = _pick_block(l, 512)
     bk = _pick_block(lk_pad, 512)
     j_steps = l // bj
@@ -166,42 +175,53 @@ def _corr_pallas(qe, ke, qb, kb, inpaint, background, scale, interpret):
     inp2 = inpaint.reshape(1, l).astype(jnp.float32)
     bg2 = background.reshape(1, l).astype(jnp.float32)
 
+    # per-i-block activity flags (scalar-prefetched): top_k ordering packs
+    # the real inpaint rows first, so block activity is a prefix
+    if row_mask is None:
+        active = jnp.ones((kp // bi,), jnp.int32)
+    else:
+        rm = jnp.pad(row_mask.reshape(-1), (0, kp - k_rows))
+        active = (rm.reshape(kp // bi, bi).max(axis=1) > 0.5).astype(jnp.int32)
+
     kern = functools.partial(
         _corr_kernel, scale=scale, k_steps=k_steps, j_steps=j_steps,
         block_j=bj, lk_valid=lk, block_k=bk,
     )
     p_in, j_in, p_bg, j_bg = pl.pallas_call(
         kern,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bi, d_pad), lambda h_, i, j, k: (h_, i, 0)),
-            pl.BlockSpec((1, bk, d_pad), lambda h_, i, j, k: (h_, k, 0)),
-            pl.BlockSpec((1, bj, d_pad), lambda h_, i, j, k: (h_, j, 0)),
-            pl.BlockSpec((1, bk, d_pad), lambda h_, i, j, k: (h_, k, 0)),
-            pl.BlockSpec((1, bj), lambda h_, i, j, k: (0, j)),
-            pl.BlockSpec((1, bj), lambda h_, i, j, k: (0, j)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, bi, 1), lambda h_, i, j, k: (h_, i, 0)),
-            pl.BlockSpec((1, bi, 1), lambda h_, i, j, k: (h_, i, 0)),
-            pl.BlockSpec((1, bi, 1), lambda h_, i, j, k: (h_, i, 0)),
-            pl.BlockSpec((1, bi, 1), lambda h_, i, j, k: (h_, i, 0)),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bi, d_pad), lambda h_, i, j, k, s: (h_, i, 0)),
+                pl.BlockSpec((1, bk, d_pad), lambda h_, i, j, k, s: (h_, k, 0)),
+                pl.BlockSpec((1, bj, d_pad), lambda h_, i, j, k, s: (h_, j, 0)),
+                pl.BlockSpec((1, bk, d_pad), lambda h_, i, j, k, s: (h_, k, 0)),
+                pl.BlockSpec((1, bj), lambda h_, i, j, k, s: (0, j)),
+                pl.BlockSpec((1, bj), lambda h_, i, j, k, s: (0, j)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bi, 1), lambda h_, i, j, k, s: (h_, i, 0)),
+                pl.BlockSpec((1, bi, 1), lambda h_, i, j, k, s: (h_, i, 0)),
+                pl.BlockSpec((1, bi, 1), lambda h_, i, j, k, s: (h_, i, 0)),
+                pl.BlockSpec((1, bi, 1), lambda h_, i, j, k, s: (h_, i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bi, bj), jnp.float32),
+                pltpu.VMEM((bi, 1), jnp.float32),
+                pltpu.VMEM((bi, 1), jnp.float32),
+                pltpu.VMEM((bj, 1), jnp.float32),
+                pltpu.VMEM((bj, 1), jnp.float32),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((h, kp, 1), jnp.float32),
             jax.ShapeDtypeStruct((h, kp, 1), jnp.int32),
             jax.ShapeDtypeStruct((h, kp, 1), jnp.float32),
             jax.ShapeDtypeStruct((h, kp, 1), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((bi, bj), jnp.float32),
-            pltpu.VMEM((bi, 1), jnp.float32),
-            pltpu.VMEM((bi, 1), jnp.float32),
-            pltpu.VMEM((bj, 1), jnp.float32),
-            pltpu.VMEM((bj, 1), jnp.float32),
-        ],
         interpret=interpret,
-    )(qe_p, ke_p, qb_p, kb_p, inp2, bg2)
+    )(active, qe_p, ke_p, qb_p, kb_p, inp2, bg2)
     return (
         p_in[:, :k_rows, 0], p_bg[:, :k_rows, 0],
         j_in[:, :k_rows, 0], j_bg[:, :k_rows, 0],
@@ -238,7 +258,7 @@ def _on_tpu() -> bool:
         return False
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def removal_correlation(
     qe: jnp.ndarray,        # (H, K, D) edit queries at the inpaint-row budget
     ke: jnp.ndarray,        # (H, Lk, D) edit-stream keys
@@ -246,6 +266,8 @@ def removal_correlation(
     kb: jnp.ndarray,        # (H, Lk, D) base keys (detached upstream)
     inpaint: jnp.ndarray,   # (L,) inpaint mask over base rows
     background: jnp.ndarray,  # (L,) background mask over base rows
+    row_mask: jnp.ndarray | None,  # (K,) validity of the budgeted rows; real
+                                   # rows first (top_k) -> block-skip prefix
     scale: float,
     impl: str = "auto",     # auto | pallas | xla
     interpret: bool = False,
@@ -256,27 +278,36 @@ def removal_correlation(
     correlation per inpaint row and the base-row indices attaining them.
     Differentiable in (qe, ke); the base stream is treated as constant
     (matching the reference's .detach(), attention_processors.py:250).
+    Rows with row_mask == 0 return the NEG_INF sentinel (their loss terms are
+    masked out by the caller) and cost no kernel work.
     """
-    out, _ = _rc_fwd(qe, ke, qb, kb, inpaint, background, scale, impl, interpret)
+    out, _ = _rc_fwd(qe, ke, qb, kb, inpaint, background, row_mask, scale, impl, interpret)
     return out
 
 
-def _rc_fwd(qe, ke, qb, kb, inpaint, background, scale, impl, interpret):
+def _rc_fwd(qe, ke, qb, kb, inpaint, background, row_mask, scale, impl, interpret):
     use_pallas = impl == "pallas" or (impl == "auto" and _on_tpu())
     if use_pallas:
         p_in, p_bg, j_in, j_bg = _corr_pallas(
-            qe, ke, qb, kb, inpaint, background, scale, interpret
+            qe, ke, qb, kb, inpaint, background, row_mask, scale, interpret
         )
     else:
         p_in, p_bg, j_in, j_bg = _corr_xla(qe, ke, qb, kb, inpaint, background, scale)
+        if row_mask is not None:
+            # match the kernel's skip semantics so both paths agree bit-wise
+            dead = row_mask[None, :] < 0.5
+            p_in = jnp.where(dead, NEG_INF, p_in)
+            p_bg = jnp.where(dead, NEG_INF, p_bg)
+            j_in = jnp.where(dead, 0, j_in)
+            j_bg = jnp.where(dead, 0, j_bg)
     out = (p_in, p_bg, j_in, j_bg)
-    return out, (qe, ke, qb, kb, inpaint, background, j_in, j_bg, p_in, p_bg)
+    return out, (qe, ke, qb, kb, inpaint, background, row_mask, j_in, j_bg, p_in, p_bg)
 
 
 def _rc_bwd(scale, impl, interpret, res, cts):
     """Sparse analytic backward: p_x[i] = sum_k P_e[i,k] * P_b[j_x[i], k],
     so only the two argmax base rows per inpaint row carry gradient."""
-    qe, ke, qb, kb, inpaint, background, j_in, j_bg, p_in, p_bg = res
+    qe, ke, qb, kb, inpaint, background, row_mask, j_in, j_bg, p_in, p_bg = res
     g_in, g_bg = cts[0], cts[1]  # int outputs get float0 cotangents — ignored
     # mask-excluded maxima (empty mask in some tile) carry no gradient
     g_in = jnp.where(p_in > MASKED * 0.5, g_in, 0.0)
@@ -300,7 +331,8 @@ def _rc_bwd(scale, impl, interpret, res, cts):
         preferred_element_type=jnp.float32,
     ).astype(ke.dtype) * scale
     z = jnp.zeros_like
-    return d_qe, d_ke, z(qb), z(kb), z(inpaint), z(background)
+    d_rm = None if row_mask is None else z(row_mask)
+    return d_qe, d_ke, z(qb), z(kb), z(inpaint), z(background), d_rm
 
 
 removal_correlation.defvjp(_rc_fwd, _rc_bwd)

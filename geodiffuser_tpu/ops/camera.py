@@ -185,3 +185,91 @@ def identity_field(height: int, width: int) -> jnp.ndarray:
     x = jnp.linspace(-1.0, 1.0, width, dtype=jnp.float32)
     yy, xx = jnp.meshgrid(y, x, indexing="ij")
     return jnp.stack([xx, yy, jnp.ones_like(xx)], axis=-1)
+
+
+def cam2pixel_occlusion(
+    cam_coords: jnp.ndarray,
+    rot: jnp.ndarray,
+    tr: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    far_clip: float = 100.0,
+) -> jnp.ndarray:
+    """Occlusion-aware backward-sampling field (reference `cam2pixel`,
+    warp_utils.py:495-595; used by `forward_warp` :768-795).
+
+    For every source pixel the forward NDC target and per-pixel delta are
+    computed; deltas are scattered into a grid at the TARGET location with
+    nearest-in-Z winning (the reference achieves this with a z-descending
+    `index_put_` so later/nearer writes overwrite); the returned field is
+    src_ndc - delta_grid: a grid-sample field where each target pixel pulls
+    from the source pixel that lands on it, occlusions resolved by depth.
+
+    Args:
+        cam_coords: (3, H, W); rot (3, 3); tr (3, 1); intrinsics (3, 3)
+    Returns:
+        (H, W, 2) NDC sampling coordinates (align_corners=True convention).
+    """
+    _, h, w = cam_coords.shape
+    flat = cam_coords.reshape(3, -1).astype(jnp.float32)
+    p = rot.astype(jnp.float32) @ flat + tr.astype(jnp.float32)
+    far = p[2] > far_clip                               # (HW,)
+    p = intrinsics.astype(jnp.float32) @ p
+    z = jnp.maximum(p[2], 1e-8)
+    x_ndc = 2.0 * (p[0] / z) / (w - 1) - 1.0
+    y_ndc = 2.0 * (p[1] / z) / (h - 1) - 1.0
+
+    grid = pixel_grid(h, w)                             # (3, HW) pixel coords
+    x_in = 2.0 * grid[0] / (w - 1) - 1.0
+    y_in = 2.0 * grid[1] / (h - 1) - 1.0
+    src = jnp.stack([x_in, y_in], axis=-1)              # (HW, 2)
+    tgt = jnp.stack([x_ndc, y_ndc], axis=-1)
+    tgt = jnp.where(far[:, None], src, tgt)             # far clip -> identity
+    delta = tgt - src                                   # (HW, 2)
+
+    ty = jnp.clip(jnp.round((tgt[:, 1] + 1.0) * 0.5 * (h - 1)), 0, h - 1)
+    tx = jnp.clip(jnp.round((tgt[:, 0] + 1.0) * 0.5 * (w - 1)), 0, w - 1)
+    t_idx = (ty * w + tx).astype(jnp.int32)
+
+    # nearest-in-Z wins per target cell; ties broken by lowest source index
+    # (torch's sequential overwrite order is itself tie-arbitrary)
+    zmin = jnp.full((h * w,), jnp.inf).at[t_idx].min(z)
+    is_near = z <= zmin[t_idx]
+    src_idx = jnp.arange(h * w, dtype=jnp.int32)
+    first = jnp.full((h * w,), 2 ** 30, jnp.int32).at[t_idx].min(
+        jnp.where(is_near, src_idx, 2 ** 30)
+    )
+    winner = is_near & (src_idx == first[t_idx])
+
+    # init = the source-laid delta grid (cells that receive no scatter keep
+    # their own forward delta, exactly like the reference's index_put_ on a
+    # copy of delta_X), then winners overwrite at their target cells
+    scatter_idx = jnp.where(winner, t_idx, h * w)       # OOB -> dropped
+    delta_grid = delta.at[scatter_idx].set(delta, mode="drop")
+
+    out = src - delta_grid
+    return out.reshape(h, w, 2)
+
+
+def backward_warp(
+    image: jnp.ndarray, field: jnp.ndarray
+) -> jnp.ndarray:
+    """grid_sample-style backward warp of (H, W, C) by an (H, W, 2) NDC field
+    (align_corners=True, zero padding) — the consumer of
+    cam2pixel_occlusion (reference forward_warp, warp_utils.py:768-795)."""
+    h, w, _ = image.shape
+    x = (field[..., 0] + 1.0) * 0.5 * (w - 1)
+    y = (field[..., 1] + 1.0) * 0.5 * (h - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    out = jnp.zeros_like(image)
+    for dy in (0.0, 1.0):
+        for dx in (0.0, 1.0):
+            cx = x0 + dx
+            cy = y0 + dy
+            wgt = (1.0 - jnp.abs(x - cx)) * (1.0 - jnp.abs(y - cy))
+            valid = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+            cxc = jnp.clip(cx, 0, w - 1).astype(jnp.int32)
+            cyc = jnp.clip(cy, 0, h - 1).astype(jnp.int32)
+            wgt = jnp.where(valid, wgt, 0.0)
+            out = out + image[cyc, cxc] * wgt[..., None]
+    return out

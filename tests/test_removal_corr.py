@@ -34,7 +34,7 @@ def test_pallas_matches_xla(h, k_rows, l, lk, d):
     qe, ke, qb, kb, inp, bg = _scene(rng, h, k_rows, l, lk, d)
     scale = d ** -0.5
     ref = rc._corr_xla(qe, ke, qb, kb, inp, bg, scale)
-    out = rc._corr_pallas(qe, ke, qb, kb, inp, bg, scale, interpret=True)
+    out = rc._corr_pallas(qe, ke, qb, kb, inp, bg, None, scale, interpret=True)
     for o, r, name in zip(out, ref, ("p_in", "p_bg", "j_in", "j_bg")):
         if o.dtype == jnp.int32:
             # indices must agree wherever the max is numerically unambiguous;
@@ -74,7 +74,7 @@ def test_custom_backward_matches_autodiff():
 
     def loss_fused(qe_, ke_):
         p_in, p_bg, _, _ = rc.removal_correlation(
-            qe_, ke_, qb, kb, inp, bg, scale, "xla", False
+            qe_, ke_, qb, kb, inp, bg, None, scale, "xla", False
         )
         return loss_from(p_in, p_bg)
 
@@ -104,7 +104,7 @@ def test_pallas_forward_backward_pipeline():
 
     def loss(qe_, impl):
         p_in, p_bg, _, _ = rc.removal_correlation(
-            qe_, ke, qb, kb, inp, bg, scale, impl, True
+            qe_, ke, qb, kb, inp, bg, None, scale, impl, True
         )
         return (
             -jnp.log(jnp.maximum(p_bg, 0.0) + 1e-4)
@@ -115,3 +115,40 @@ def test_pallas_forward_backward_pipeline():
     v_x, g_x = jax.value_and_grad(lambda q: loss(q, "xla"))(qe)
     np.testing.assert_allclose(float(v_p), float(v_x), rtol=2e-2)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=3e-3, rtol=3e-2)
+
+
+def test_block_skip_row_mask():
+    """Inactive row blocks (row_mask prefix exhausted) are skipped: their
+    outputs hold the NEG_INF sentinel, active rows match the XLA path."""
+    rng = np.random.RandomState(3)
+    h, k_rows, l, lk, d = 2, 64, 256, 256, 40
+    qe, ke, qb, kb, inp, bg = _scene(rng, h, k_rows, l, lk, d)
+    scale = d ** -0.5
+    # only the first 10 budget rows are real (top_k packs them first)
+    row_mask = jnp.asarray((np.arange(k_rows) < 10).astype(np.float32))
+
+    p_in, p_bg, j_in, j_bg = rc._corr_pallas(
+        qe, ke, qb, kb, inp, bg, row_mask, scale, interpret=True
+    )
+    r_in, r_bg, _, _ = rc._corr_xla(qe, ke, qb, kb, inp, bg, scale)
+    np.testing.assert_allclose(
+        np.asarray(p_in[:, :10]), np.asarray(r_in[:, :10]), atol=2e-2, rtol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_bg[:, :10]), np.asarray(r_bg[:, :10]), atol=2e-2, rtol=2e-2
+    )
+    # with 64 budget rows and <=256-row blocks there is a single block here,
+    # so force multi-block skipping with a bigger budget
+    k_big = 512
+    qe_b = jnp.asarray(rng.randn(h, k_big, d), jnp.float32)
+    rm_b = jnp.asarray((np.arange(k_big) < 100).astype(np.float32))
+    p_in_b, p_bg_b, _, _ = rc._corr_pallas(
+        qe_b, ke, qb, kb, inp, bg, rm_b, scale, interpret=True
+    )
+    r_in_b, r_bg_b, _, _ = rc._corr_xla(qe_b, ke, qb, kb, inp, bg, scale)
+    np.testing.assert_allclose(
+        np.asarray(p_in_b[:, :100]), np.asarray(r_in_b[:, :100]), atol=2e-2, rtol=2e-2
+    )
+    # rows in fully-inactive blocks (>= 256) keep the sentinel
+    assert np.all(np.asarray(p_in_b[:, 256:]) <= rc.NEG_INF * 0.5)
+    assert np.all(np.asarray(p_bg_b[:, 256:]) <= rc.NEG_INF * 0.5)
