@@ -12,8 +12,12 @@ The reference's headline geometry metric (image_fidelity.py:125-181):
 Native differences (documented):
   * features come from our flax UNet's `features` collection taps
     (models/unet.py) instead of a monkey-patched diffusers UNet;
-  * keypoints are Harris corners (pure JAX/numpy) instead of OpenCV SIFT —
-    the metric needs well-spread object keypoints, not SIFT specifically.
+  * keypoints come from a numpy scale-space DoG detector (`sift_keypoints`,
+    the detector half of SIFT: Gaussian octaves, 3x3x3 DoG extrema, contrast
+    + edge-response tests) matching the reference's cv2.SIFT_create().detect
+    usage (image_fidelity.py:35-75 uses only keypoint POSITIONS — matching
+    is done by DIFT features, not SIFT descriptors); Harris corners remain
+    as the fallback when the DoG finds nothing in-mask.
 """
 
 from __future__ import annotations
@@ -118,7 +122,7 @@ def mean_distance_metric(
     Returns (mean_distance_px, n_keypoints).
     """
     h, w = mask.shape
-    kps = harris_keypoints(source, mask, max_points=max_points)
+    kps = detect_keypoints(source, mask, max_points=max_points)
     if len(kps) == 0:
         return float("nan"), 0
     fs = featurizer(source, prompt)
@@ -146,3 +150,99 @@ def mean_distance_metric(
         ey = (tc[1] + 1.0) * 0.5 * (h - 1)
         dists.append(np.hypot(px - ex, py - ey))
     return float(np.mean(dists)), len(kps)
+
+
+def sift_keypoints(
+    gray: np.ndarray,
+    mask: Optional[np.ndarray] = None,
+    max_points: int = 50,
+    n_octaves: int = 3,
+    scales_per_octave: int = 3,
+    sigma0: float = 1.6,
+    contrast_thresh: float = 0.015,
+    edge_ratio: float = 10.0,
+    min_distance: int = 3,
+) -> np.ndarray:
+    """Scale-space DoG keypoint detector (the detector half of SIFT).
+
+    Returns (N, 2) xy at full-image scale, strongest |DoG| response first.
+    The reference consumes cv2.SIFT keypoint positions only
+    (image_fidelity.py:54-59); descriptors/orientations are unnecessary
+    because matching happens in DIFT feature space.
+    """
+    from scipy.ndimage import gaussian_filter
+
+    g = np.asarray(gray, np.float64)
+    if g.ndim == 3:
+        g = g.mean(-1)
+    if g.max() > 1.5:
+        g = g / 255.0
+
+    cand = []  # (|response|, x, y)
+    base = g
+    for octave in range(n_octaves):
+        h, w = base.shape
+        if min(h, w) < 16:
+            break
+        k = 2.0 ** (1.0 / scales_per_octave)
+        sigmas = [sigma0 * (k ** i) for i in range(scales_per_octave + 3)]
+        gauss = [gaussian_filter(base, s) for s in sigmas]
+        dog = np.stack([gauss[i + 1] - gauss[i] for i in range(len(gauss) - 1)])
+
+        for s in range(1, dog.shape[0] - 1):
+            d = dog[s]
+            # 3x3x3 local extrema
+            stack = dog[s - 1:s + 2]
+            mx = d == stack.max(axis=0)
+            mn = d == stack.min(axis=0)
+            for shift_y in (-1, 0, 1):
+                for shift_x in (-1, 0, 1):
+                    rolled = np.roll(np.roll(stack, shift_y, axis=1), shift_x, axis=2)
+                    mx &= d >= rolled.max(axis=0)
+                    mn &= d <= rolled.min(axis=0)
+            extrema = (mx | mn) & (np.abs(d) > contrast_thresh)
+            # edge response: ratio of principal curvatures (Lowe §4.1)
+            dyy = np.roll(d, -1, 0) + np.roll(d, 1, 0) - 2 * d
+            dxx = np.roll(d, -1, 1) + np.roll(d, 1, 1) - 2 * d
+            dxy = 0.25 * (
+                np.roll(np.roll(d, 1, 0), 1, 1) + np.roll(np.roll(d, -1, 0), -1, 1)
+                - np.roll(np.roll(d, 1, 0), -1, 1) - np.roll(np.roll(d, -1, 0), 1, 1)
+            )
+            tr, det = dxx + dyy, dxx * dyy - dxy * dxy
+            r = edge_ratio
+            not_edge = (det > 0) & (tr * tr * r < (r + 1.0) ** 2 * det)
+            extrema &= not_edge
+            extrema[:1, :] = extrema[-1:, :] = False
+            extrema[:, :1] = extrema[:, -1:] = False
+            ys, xs = np.where(extrema)
+            scale = 2 ** octave
+            for yy, xx in zip(ys, xs):
+                fx, fy = xx * scale, yy * scale
+                if mask is not None and mask[min(int(fy), mask.shape[0] - 1),
+                                             min(int(fx), mask.shape[1] - 1)] <= 0.5:
+                    continue
+                cand.append((abs(d[yy, xx]), fx, fy))
+        base = base[::2, ::2]
+
+    if not cand:
+        return np.zeros((0, 2), np.float64)
+    cand.sort(key=lambda t: -t[0])
+    pts: list = []
+    for _, x, y in cand:
+        if all((x - px) ** 2 + (y - py) ** 2 >= min_distance ** 2 for px, py in pts):
+            pts.append((x, y))
+            if len(pts) >= max_points:
+                break
+    return np.asarray(pts, np.float64).reshape(-1, 2)
+
+
+def detect_keypoints(
+    image: np.ndarray, mask: Optional[np.ndarray] = None, max_points: int = 50
+) -> np.ndarray:
+    """SIFT-style DoG detector with Harris fallback (reference falls back to
+    a grid/Harris style detector when SIFT finds nothing in-mask,
+    image_fidelity.py:66-69)."""
+    kps = sift_keypoints(image, mask, max_points=max_points)
+    if len(kps) == 0:
+        kps = harris_keypoints(image, mask, max_points=max_points)
+    return kps

@@ -132,3 +132,32 @@ def test_evaluation_cli_offline_and_json(tmp_path):
     summary = json.load(open(out))
     assert "Translation_2D/ours" in summary
     assert "warp_l1" in summary["Translation_2D/ours"]
+
+
+def test_sift_dog_keypoints():
+    """DoG detector fires on blob/corner structure, respects the mask, and
+    the MD metric consumes it (reference uses cv2.SIFT positions only)."""
+    import numpy as np
+
+    from geodiffuser_tpu.evaluation.dift import detect_keypoints, sift_keypoints
+
+    rng = np.random.RandomState(0)
+    img = np.zeros((64, 64))
+    img[20:40, 20:40] = 1.0
+    img += rng.rand(64, 64) * 0.02
+    kps = sift_keypoints(img)
+    assert len(kps) >= 4
+    # the square's corners are all detected (within a few px)
+    corners = np.asarray([[20, 20], [20, 39], [39, 39], [39, 20]], float)
+    d = np.linalg.norm(kps[:, None, :] - corners[None], axis=-1).min(axis=0)
+    assert (d < 4).all(), d
+
+    mask = np.zeros((64, 64))
+    mask[:, :32] = 1.0
+    kps_m = detect_keypoints(img, mask)
+    assert len(kps_m) > 0 and (kps_m[:, 0] < 32).all()
+
+    # featureless in-mask region -> Harris fallback path still returns
+    flat = rng.rand(64, 64) * 0.01
+    kps_f = detect_keypoints(flat, mask, max_points=5)
+    assert kps_f.shape[1] == 2
