@@ -306,30 +306,43 @@ def _rc_fwd(qe, ke, qb, kb, inpaint, background, row_mask, scale, impl, interpre
 
 def _rc_bwd(scale, impl, interpret, res, cts):
     """Sparse analytic backward: p_x[i] = sum_k P_e[i,k] * P_b[j_x[i], k],
-    so only the two argmax base rows per inpaint row carry gradient."""
+    so only the two argmax base rows per inpaint row carry gradient.
+
+    On TPU this runs as a Pallas kernel (see _corr_bwd_kernel) — the XLA
+    formulation below materializes (H, K, Lk) fp32 intermediates in HBM,
+    which at the remover's K = seq//2 budget dominates the optimize-step
+    backward."""
     qe, ke, qb, kb, inpaint, background, row_mask, j_in, j_bg, p_in, p_bg = res
     g_in, g_bg = cts[0], cts[1]  # int outputs get float0 cotangents — ignored
     # mask-excluded maxima (empty mask in some tile) carry no gradient
     g_in = jnp.where(p_in > MASKED * 0.5, g_in, 0.0)
     g_bg = jnp.where(p_bg > MASKED * 0.5, g_bg, 0.0)
 
-    def base_rows(j_idx):
-        q_sel = jnp.take_along_axis(qb, j_idx[..., None], axis=1)     # (H,K,D)
-        return _probs(q_sel, kb, scale).astype(jnp.float32)           # (H,K,Lk)
+    use_pallas = impl == "pallas" or (impl == "auto" and _on_tpu())
+    if use_pallas:
+        q_sel_in = jnp.take_along_axis(qb, j_in[..., None], axis=1)
+        q_sel_bg = jnp.take_along_axis(qb, j_bg[..., None], axis=1)
+        d_qe, d_ke = _corr_bwd_pallas(
+            qe, ke, kb, q_sel_in, q_sel_bg, g_in, g_bg, row_mask, scale, interpret
+        )
+    else:
+        def base_rows(j_idx):
+            q_sel = jnp.take_along_axis(qb, j_idx[..., None], axis=1)     # (H,K,D)
+            return _probs(q_sel, kb, scale).astype(jnp.float32)           # (H,K,Lk)
 
-    d_pe = g_in[..., None] * base_rows(j_in) + g_bg[..., None] * base_rows(j_bg)
+        d_pe = g_in[..., None] * base_rows(j_in) + g_bg[..., None] * base_rows(j_bg)
 
-    s = jnp.einsum("hnd,hkd->hnk", qe, ke, preferred_element_type=jnp.float32) * scale
-    pe = jax.nn.softmax(s, axis=-1)
-    d_logits = pe * (d_pe - jnp.sum(d_pe * pe, axis=-1, keepdims=True))
-    d_qe = jnp.einsum(
-        "hnk,hkd->hnd", d_logits, ke.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    ).astype(qe.dtype) * scale
-    d_ke = jnp.einsum(
-        "hnk,hnd->hkd", d_logits, qe.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    ).astype(ke.dtype) * scale
+        s = jnp.einsum("hnd,hkd->hnk", qe, ke, preferred_element_type=jnp.float32) * scale
+        pe = jax.nn.softmax(s, axis=-1)
+        d_logits = pe * (d_pe - jnp.sum(d_pe * pe, axis=-1, keepdims=True))
+        d_qe = jnp.einsum(
+            "hnk,hkd->hnd", d_logits, ke.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ).astype(qe.dtype) * scale
+        d_ke = jnp.einsum(
+            "hnk,hnd->hkd", d_logits, qe.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ).astype(ke.dtype) * scale
     z = jnp.zeros_like
     d_rm = None if row_mask is None else z(row_mask)
     return d_qe, d_ke, z(qb), z(kb), z(inpaint), z(background), d_rm
@@ -337,3 +350,127 @@ def _rc_bwd(scale, impl, interpret, res, cts):
 
 removal_correlation.defvjp(_rc_fwd, _rc_bwd)
 
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward.  The XLA sparse backward below is analytically minimal
+# (only the two argmax base rows carry gradient) but materializes several
+# (H, K, Lk) fp32 intermediates in HBM — at the remover's K = seq//2 budget
+# that traffic costs ~100 ms/step.  This kernel keeps all of them in VMEM:
+# per (head, row-block) it recomputes the three probability row-sets
+# (edit rows, and the two gathered base rows vs kb), forms the softmax-VJP
+# tangent t = pe * (d_pe - <d_pe, pe>), and emits
+#   d_qe = scale * t @ ke          (per row block)
+#   d_ke = scale * t^T @ qe        (accumulated across row blocks directly
+#                                   in the revisited output block)
+# with the same row-block activity skipping as the forward.
+# ---------------------------------------------------------------------------
+
+
+def _corr_bwd_kernel(
+    active_ref,
+    qe_ref, ke_ref, qin_ref, qbg_ref, kb_ref, gin_ref, gbg_ref,
+    dqe_ref, dke_ref,
+    *, scale, i_steps, lk_valid,
+):
+    i_i = pl.program_id(1)
+
+    @pl.when(i_i == 0)
+    def _init():
+        dke_ref[:] = jnp.zeros_like(dke_ref)
+
+    @pl.when(active_ref[i_i] > 0)
+    def _work():
+        qe = qe_ref[0]                                   # (BI, Dp)
+        ke = ke_ref[0]                                   # (Lkp, Dp)
+        kb = kb_ref[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, ke.shape[0]), 1)
+        col_ok = col < lk_valid
+
+        def probs(q, k):
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale                                    # (BI, Lkp)
+            s = jnp.where(col_ok, s, NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            return e / jnp.sum(e, axis=-1, keepdims=True)
+
+        pe = probs(qe, ke)
+        p_in = probs(qin_ref[0], kb)
+        p_bg = probs(qbg_ref[0], kb)
+
+        g_in = gin_ref[0]                                # (BI, 1)
+        g_bg = gbg_ref[0]
+        d_pe = g_in * p_in + g_bg * p_bg
+        c = jnp.sum(d_pe * pe, axis=-1, keepdims=True)
+        t = pe * (d_pe - c)                              # (BI, Lkp)
+
+        dqe_ref[0] = (scale * jax.lax.dot_general(
+            t, ke, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )).astype(dqe_ref.dtype)
+        dke_ref[0] = dke_ref[0] + (scale * jax.lax.dot_general(
+            t, qe, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )).astype(dke_ref.dtype)
+
+    @pl.when((active_ref[i_i] == 0))
+    def _zero_dqe():
+        dqe_ref[:] = jnp.zeros_like(dqe_ref)
+
+
+def _corr_bwd_pallas(qe, ke, kb, q_sel_in, q_sel_bg, g_in, g_bg, row_mask,
+                     scale, interpret):
+    h, k_rows, d = qe.shape
+    lk = ke.shape[1]
+    d_pad = ((d + 127) // 128) * 128
+    pad_d = lambda t: _pad_to(t, 2, 128)
+    qe_p = _pad_to(pad_d(qe), 1, 8)
+    qin_p = _pad_to(pad_d(q_sel_in), 1, 8)
+    qbg_p = _pad_to(pad_d(q_sel_bg), 1, 8)
+    ke_p = _pad_to(pad_d(ke), 1, 128)
+    kb_p = _pad_to(pad_d(kb), 1, 128)
+    kp = qe_p.shape[1]
+    lkp = ke_p.shape[1]
+
+    bi = _pick_block(kp, 128)
+    i_steps = kp // bi
+    grid = (h, i_steps)
+
+    gi = _pad_to(g_in[..., None].astype(jnp.float32), 1, 8)   # (H, Kp, 1)
+    gb = _pad_to(g_bg[..., None].astype(jnp.float32), 1, 8)
+
+    if row_mask is None:
+        active = jnp.ones((i_steps,), jnp.int32)
+    else:
+        rm = jnp.pad(row_mask.reshape(-1), (0, kp - k_rows))
+        active = (rm.reshape(i_steps, bi).max(axis=1) > 0.5).astype(jnp.int32)
+
+    kern = functools.partial(
+        _corr_bwd_kernel, scale=scale, i_steps=i_steps, lk_valid=lk,
+    )
+    d_qe, d_ke = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bi, d_pad), lambda h_, i, s: (h_, i, 0)),
+                pl.BlockSpec((1, lkp, d_pad), lambda h_, i, s: (h_, 0, 0)),
+                pl.BlockSpec((1, bi, d_pad), lambda h_, i, s: (h_, i, 0)),
+                pl.BlockSpec((1, bi, d_pad), lambda h_, i, s: (h_, i, 0)),
+                pl.BlockSpec((1, lkp, d_pad), lambda h_, i, s: (h_, 0, 0)),
+                pl.BlockSpec((1, bi, 1), lambda h_, i, s: (h_, i, 0)),
+                pl.BlockSpec((1, bi, 1), lambda h_, i, s: (h_, i, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bi, d_pad), lambda h_, i, s: (h_, i, 0)),
+                pl.BlockSpec((1, lkp, d_pad), lambda h_, i, s: (h_, 0, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((h, kp, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((h, lkp, d_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(active, qe_p, ke_p, qin_p, qbg_p, kb_p, gi, gb)
+    return d_qe[:, :k_rows, :d].astype(qe.dtype), d_ke[:, :lk, :d].astype(ke.dtype)

@@ -152,3 +152,31 @@ def test_block_skip_row_mask():
     # rows in fully-inactive blocks (>= 256) keep the sentinel
     assert np.all(np.asarray(p_in_b[:, 256:]) <= rc.NEG_INF * 0.5)
     assert np.all(np.asarray(p_bg_b[:, 256:]) <= rc.NEG_INF * 0.5)
+
+
+def test_pallas_backward_matches_xla_backward():
+    """The Pallas bwd kernel vs the XLA sparse backward, incl. block
+    skipping and cross-attention key padding."""
+    rng = np.random.RandomState(4)
+    for (h, k_rows, l, lk, d) in [(2, 64, 256, 256, 40), (2, 64, 256, 77, 40)]:
+        qe, ke, qb, kb, inp, bg = _scene(rng, h, k_rows, l, lk, d)
+        scale = d ** -0.5
+        row_mask = jnp.asarray((np.arange(k_rows) < 40).astype(np.float32))
+
+        # identical residuals for both backwards (the two FORWARDS may pick
+        # different argmax rows on bf16 near-ties, which would legitimately
+        # change the gradient)
+        _, res = rc._rc_fwd(qe, ke, qb, kb, inp, bg, row_mask, scale, "xla", True)
+        p_in, p_bg = res[-2], res[-1]
+        g_in = jnp.where(row_mask[None, :] > 0.5,
+                         -1.0 / (jnp.maximum(p_in, 0.0) + 1e-4), 0.0)
+        g_bg = jnp.where(row_mask[None, :] > 0.5,
+                         1.0 / (jnp.maximum(p_bg, 0.0) + 1e-4), 0.0)
+        cts = (g_in, g_bg, None, None)
+        out_p = rc._rc_bwd(scale, "pallas", True, res, cts)
+        out_x = rc._rc_bwd(scale, "xla", True, res, cts)
+        for gp, gx, name in zip(out_p[:2], out_x[:2], ("dqe", "dke")):
+            np.testing.assert_allclose(
+                np.asarray(gp), np.asarray(gx), atol=3e-3, rtol=3e-2,
+                err_msg=f"{name} lk={lk}",
+            )
