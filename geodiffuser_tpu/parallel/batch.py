@@ -336,9 +336,25 @@ class ShardedEditSession(EditSession):
         edited = []
         imgs_np = np.asarray(imgs)
         msk_np = np.asarray(msk)
-        masks_host = jax.tree.map(np.asarray, masks)
+        # fetch ONLY what _postprocess reads — pulling the whole mask pytree
+        # ships the 4096^2 distance matrices etc. through the device tunnel
+        # (~4 s/batch measured)
+        res_lat = self.pipeline.latent_size
+
+        class _TF:
+            warped_preview = None
+
+        masks_small = {
+            res_lat: masks[res_lat].replace(
+                distance=None, interp_idx=None, interp_vals=None, interp_w=None,
+                inpaint_rows=None, inpaint_row_mask=None, inpaint_overflow=None,
+            )
+        }
+        masks_host = jax.tree.map(np.asarray, masks_small)
+        previews = np.asarray(tf.warped_preview)
         for j in range(e):
-            tf_j = jax.tree.map(lambda a, j=j: a[j], tf)
+            tf_j = _TF()
+            tf_j.warped_preview = previews[j]
             masks_j = jax.tree.map(lambda a, j=j: a[j], masks_host)
             edited.append(
                 self._postprocess(decoded[j, -1], imgs_np[j], tf_j, msk_np[j], masks_j)
