@@ -158,8 +158,11 @@ def main(argv=None) -> int:
                     "(reference: evaluation/image_fidelity.py)",
     )
     ap.add_argument("--exp_root", default=None)
-    ap.add_argument("--metric", choices=["md", "lpips", "clip", "offline"],
+    ap.add_argument("--metric", choices=["md", "lpips", "clip", "offline", "fid"],
                     default="clip")
+    ap.add_argument("--method_type", default="ours",
+                    help="for --metric fid: which method's results to score "
+                         f"({', '.join(METHOD_RESULTS)})")
     ap.add_argument("--evaluation_type", choices=["2D", "3D", "all"], default="all")
     ap.add_argument("--path_1", default=None)
     ap.add_argument("--path_2", default=None)
@@ -180,6 +183,41 @@ def main(argv=None) -> int:
             for k, v in _pairwise(a, b, args.weights_dir).items():
                 agg["pairwise"][k].append(v)
         summary = _print_table(agg)
+    elif args.exp_root and args.metric == "fid":
+        # fid_is_score_geodiff.py flow: FID between inputs and one method's
+        # results over the tree; CLIP-FID embedder (Inception is weight-gated)
+        from geodiffuser_tpu.evaluation import fid as fid_mod
+
+        try:
+            embed = fid_mod.CLIPFeatureExtractor()
+        except Exception as exc:
+            print(f"[INFO] FID embedder unavailable ({exc}); using a raw "
+                  "downsampled-pixel embedder (rank-order comparisons only)",
+                  file=sys.stderr)
+
+            def embed(img):
+                from PIL import Image
+
+                small = np.asarray(
+                    Image.fromarray(img).resize((16, 16), Image.BILINEAR),
+                    np.float32,
+                ) / 255.0
+                return small.reshape(-1)
+
+        names = METHOD_RESULTS[args.method_type]
+        value = None
+        for name in names:
+            try:
+                value = fid_mod.fid_over_experiments(
+                    args.exp_root, embed, result_name=name
+                )
+                break
+            except ValueError:
+                continue
+        if value is None:
+            ap.error(f"no {args.method_type} results under {args.exp_root}")
+        print(f"{args.method_type:20s} fid={value:.4f}")
+        summary = {args.method_type: {"fid": float(value)}}
     elif args.exp_root:
         featurizer = None
         if args.metric == "md" and args.weights_dir:

@@ -161,3 +161,35 @@ def test_sift_dog_keypoints():
     flat = rng.rand(64, 64) * 0.01
     kps_f = detect_keypoints(flat, mask, max_points=5)
     assert kps_f.shape[1] == 2
+
+
+def test_evaluation_cli_fid(tmp_path):
+    """--metric fid sweeps the tree per method (fid_is_score_geodiff flow);
+    degrades to a pixel embedder without CLIP weights."""
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    from geodiffuser_tpu.evaluation.__main__ import main
+    from geodiffuser_tpu.ops import camera
+    from geodiffuser_tpu.utils import exp_io
+
+    rng = np.random.RandomState(0)
+    size = 32
+    for i in range(3):
+        folder = str(tmp_path / "Translation_2D" / str(i))
+        img = (rng.rand(size, size, 3) * 255).astype(np.uint8)
+        mask = np.zeros((size, size), np.float32)
+        mask[8:16, 8:16] = 1.0
+        exp_io.save_exp(folder, img, np.full((size, size), 0.5, np.float32),
+                        mask, camera.compose_transform(tx=0.05),
+                        image_shape=(size, size))
+        Image.fromarray(img).save(folder + "/result_ls.png")
+
+    out = str(tmp_path / "fid.json")
+    rc = main(["--exp_root", str(tmp_path), "--metric", "fid", "--output", out])
+    assert rc == 0
+    summary = json.load(open(out))
+    # identical result images -> FID ~ 0
+    assert summary["ours"]["fid"] < 1e-4
