@@ -97,6 +97,12 @@ class EditState(flax.struct.PyTreeNode):
     amodal_min_seq: int = flax.struct.field(pytree_node=False, default=64 * 64)
     mode: str = flax.struct.field(pytree_node=False, default="editor")
     use_cfg: bool = flax.struct.field(pytree_node=False, default=True)
+    # Slim CFG batch [uncond_edit, cond_base, cond_edit]: the uncond_base
+    # stream's forward is pure waste — its DDIM output is overwritten by the
+    # trajectory pinning (editor.py:375-377) and no edited stream reads its
+    # attention — so the CFG step drops it (25% of the CFG UNet cost).  The
+    # reference carries it (its diffusion_step always doubles the batch).
+    slim_cfg: bool = flax.struct.field(pytree_node=False, default=False)
     compute_losses: bool = flax.struct.field(pytree_node=False, default=False)
     apply_constraints: bool = flax.struct.field(pytree_node=False, default=False)
     z_beta: float = flax.struct.field(pytree_node=False, default=20.0)
@@ -105,16 +111,22 @@ class EditState(flax.struct.PyTreeNode):
     def n_vanilla_streams(self) -> int:
         """Streams that keep vanilla attention (reference coords_base[1]:
         3 under CFG — uncond_base, uncond_edit, cond_base — else 1)."""
-        return 3 if self.use_cfg else 1
+        if not self.use_cfg:
+            return 1
+        return 2 if self.slim_cfg else 3
 
     @property
     def base_idx(self) -> int:
         """The conditional base stream (reference coords_base: (2,3) CFG / (0,1))."""
-        return 2 if self.use_cfg else 0
+        if not self.use_cfg:
+            return 0
+        return 1 if self.slim_cfg else 2
 
     @property
     def edit_idx(self) -> int:
-        return 3 if self.use_cfg else 1
+        if not self.use_cfg:
+            return 1
+        return 2 if self.slim_cfg else 3
 
 
 def coordinate_distance_grid(res: int) -> jnp.ndarray:
@@ -254,6 +266,7 @@ def make_edit_state(
     splat_radius: float | jnp.ndarray | None = None,
     splat_tau: float | jnp.ndarray | None = None,
     warp_mats: Optional[Dict[int, jnp.ndarray]] = None,
+    slim_cfg: bool = False,
 ) -> EditState:
     w = weights if weights is not None else cfg.resolved_loss_weights()
     mode = "remover" if cfg.edit_type == "geometry_remover" else "editor"
@@ -277,6 +290,7 @@ def make_edit_state(
         amodal_min_seq=amodal_min_seq(max_res),
         mode=mode,
         use_cfg=use_cfg,
+        slim_cfg=slim_cfg,
         compute_losses=compute_losses,
         apply_constraints=cfg.apply_attention_constraints,
         z_beta=cfg.splat.z_beta,

@@ -131,7 +131,7 @@ class EditSession:
                 )
 
     def _state(self, masks, i, weights, radius, tau, use_cfg, compute_losses,
-               warp_mats=None):
+               warp_mats=None, slim_cfg=False):
         if warp_mats is None:
             warp_mats = edit_state.build_warp_matrices(
                 masks, radius, tau, self.cfg.splat.z_beta
@@ -139,6 +139,7 @@ class EditSession:
         return edit_state.make_edit_state(
             self.cfg, masks, cur_step=i, use_cfg=use_cfg, compute_losses=compute_losses,
             weights=weights, splat_radius=radius, splat_tau=tau, warp_mats=warp_mats,
+            slim_cfg=slim_cfg,
         )
 
     # --------------------------------------------------------------- optimize
@@ -190,18 +191,30 @@ class EditSession:
         pinned_base, do_replace, warp_mats=None,
     ):
         """No-grad CFG denoise + pinning + latent warp-replace
-        (editor.py:339-403)."""
+        (editor.py:339-403).
+
+        Slim 3-stream batch [uncond_edit, cond_base, cond_edit]: the
+        reference's 4th stream (uncond_base) only produces the base DDIM
+        output that the trajectory pinning immediately overwrites, and no
+        edited stream consumes its attention — dropping it saves 25% of the
+        CFG UNet cost with bit-identical results."""
         cfg = self.cfg
         state = self._state(masks, i, weights, radius, tau, use_cfg=True,
-                            compute_losses=False, warp_mats=warp_mats)
-        latents_in = jnp.concatenate([latents2, latents2], axis=0)
-        eps = self.pipeline.unet.apply(params_unet, latents_in, t, context4, state)
-        eps_u, eps_c = eps[:2], eps[2:]
-        eps_g = eps_u + cfg.guidance_scale * (eps_c - eps_u)
-        new_latents = sched.ddim_step(self.pipeline.schedule, eps_g, t, latents2, cfg.num_ddim_steps)
+                            compute_losses=False, warp_mats=warp_mats,
+                            slim_cfg=True)
+        lat_e = latents2[1]
+        latents_in = jnp.stack([lat_e, latents2[0], lat_e])
+        ctx3 = jnp.stack([context4[1], context4[2], context4[3]])
+        eps = self.pipeline.unet.apply(params_unet, latents_in, t, ctx3, state)
+        eps_g = eps[0] + cfg.guidance_scale * (eps[2] - eps[0])
+        new_edit = sched.ddim_step(
+            self.pipeline.schedule, eps_g[None], t, lat_e[None], cfg.num_ddim_steps
+        )
 
         # Pin the base stream to the stored inversion trajectory (editor.py:375-377)
-        new_latents = jnp.concatenate([pinned_base.reshape(new_latents[:1].shape), new_latents[1:]], axis=0)
+        new_latents = jnp.concatenate(
+            [pinned_base.reshape(new_edit.shape), new_edit], axis=0
+        )
 
         if self.mode == "editor":
             # Hard warp-replace of the edit latent inside the warped mask
