@@ -75,6 +75,19 @@ class MaskSet(flax.struct.PyTreeNode):
     inpaint_overflow: Optional[jnp.ndarray] = None  # () scalar
 
 
+class RecordTaps:
+    """Sentinel `edit` value: run the BASE stream vanilla and sow its
+    per-layer attention q/k/v into the 'taps' collection.
+
+    The optimize pass differentiates only the edit stream, but batching
+    [base, edit] through one grad-enabled forward makes the backward
+    propagate (zero) cotangents through the base stream's half of every
+    fused op.  Splitting it out — one no-grad base pass recording taps, then
+    a 1-stream differentiated edit pass consuming them — halves the width of
+    the differentiated graph with identical math (the base stream is
+    stop_gradient everywhere, attention_sharing.py:242)."""
+
+
 class EditState(flax.struct.PyTreeNode):
     """Traced + static state threaded through the UNet attention layers."""
 
@@ -103,6 +116,9 @@ class EditState(flax.struct.PyTreeNode):
     # attention — so the CFG step drops it (25% of the CFG UNet cost).  The
     # reference carries it (its diffusion_step always doubles the batch).
     slim_cfg: bool = flax.struct.field(pytree_node=False, default=False)
+    # the UNet batch holds ONLY the edit stream; base-stream q/k/v come from
+    # the 'taps' collection recorded by a prior RecordTaps pass
+    consume_taps: bool = flax.struct.field(pytree_node=False, default=False)
     compute_losses: bool = flax.struct.field(pytree_node=False, default=False)
     apply_constraints: bool = flax.struct.field(pytree_node=False, default=False)
     z_beta: float = flax.struct.field(pytree_node=False, default=20.0)
@@ -267,6 +283,7 @@ def make_edit_state(
     splat_tau: float | jnp.ndarray | None = None,
     warp_mats: Optional[Dict[int, jnp.ndarray]] = None,
     slim_cfg: bool = False,
+    consume_taps: bool = False,
 ) -> EditState:
     w = weights if weights is not None else cfg.resolved_loss_weights()
     mode = "remover" if cfg.edit_type == "geometry_remover" else "editor"
@@ -291,6 +308,7 @@ def make_edit_state(
         mode=mode,
         use_cfg=use_cfg,
         slim_cfg=slim_cfg,
+        consume_taps=consume_taps,
         compute_losses=compute_losses,
         apply_constraints=cfg.apply_attention_constraints,
         z_beta=cfg.splat.z_beta,

@@ -131,7 +131,7 @@ class EditSession:
                 )
 
     def _state(self, masks, i, weights, radius, tau, use_cfg, compute_losses,
-               warp_mats=None, slim_cfg=False):
+               warp_mats=None, slim_cfg=False, consume_taps=False):
         if warp_mats is None:
             warp_mats = edit_state.build_warp_matrices(
                 masks, radius, tau, self.cfg.splat.z_beta
@@ -139,7 +139,7 @@ class EditSession:
         return edit_state.make_edit_state(
             self.cfg, masks, cur_step=i, use_cfg=use_cfg, compute_losses=compute_losses,
             weights=weights, splat_radius=radius, splat_tau=tau, warp_mats=warp_mats,
-            slim_cfg=slim_cfg,
+            slim_cfg=slim_cfg, consume_taps=consume_taps,
         )
 
     # --------------------------------------------------------------- optimize
@@ -147,18 +147,29 @@ class EditSession:
         self, params_unet, latents2, context4, t, masks, i, weights, radius, tau,
         lr_eff, sgd_state, warp_mats=None,
     ):
-        """Grad-enabled cond-only pass + masked update (editor.py:181-336)."""
+        """Grad-enabled cond-only pass + masked update (editor.py:181-336).
+
+        The base stream runs ONCE outside the grad (RecordTaps: vanilla
+        forward sowing per-layer q/k/v); the differentiated forward carries
+        only the edit stream and reconstructs the stream pair at each
+        attention boundary — identical math (base is stop_gradient
+        everywhere), half the backward graph."""
         cfg = self.cfg
         state = self._state(masks, i, weights, radius, tau, use_cfg=False,
-                            compute_losses=True, warp_mats=warp_mats)
+                            compute_losses=True, warp_mats=warp_mats,
+                            consume_taps=True)
         latent_base = jax.lax.stop_gradient(latents2[0])
         ctx_base = jax.lax.stop_gradient(context4[2])
 
+        _, taps = self.pipeline.unet.apply(
+            params_unet, latent_base[None], t, ctx_base[None],
+            edit_state.RecordTaps(), mutable=["taps"],
+        )
+
         def loss_fn(latent_edit, ctx_edit):
-            lat = jnp.stack([latent_base, latent_edit])
-            ctx = jnp.stack([ctx_base, ctx_edit])
             _, aux = self.pipeline.unet.apply(
-                params_unet, lat, t, ctx, state, mutable=["edit"]
+                {**params_unet, **taps}, latent_edit[None], t, ctx_edit[None],
+                state, mutable=["edit"],
             )
             loss, logs = edit_attention.collect_edit_aux(aux)
             return loss, logs

@@ -22,11 +22,15 @@ import jax
 import jax.numpy as jnp
 
 from geodiffuser_tpu.core import edit_attention
-from geodiffuser_tpu.core.edit_state import EditState
+from geodiffuser_tpu.core.edit_state import EditState, RecordTaps
 
 
 def _sum_reduce(a, b):
     return jax.tree.map(jnp.add, a, b)
+
+
+def _replace_reduce(a, b):
+    return b
 
 
 class Attention(nn.Module):
@@ -81,13 +85,32 @@ class Attention(nn.Module):
                 reduce_fn=lambda a, b: b, init_fn=lambda: 0.0,
             )
 
-        if edit is None:
+        if isinstance(edit, RecordTaps):
+            # base-stream pass: vanilla attention + record q/k/v for the
+            # 1-stream differentiated edit pass (see RecordTaps docstring)
+            if self.is_mutable_collection("taps") and not self.is_initializing():
+                for name, val in (("q", q), ("k", k), ("v", v)):
+                    self.sow("taps", name, val,
+                             reduce_fn=_replace_reduce, init_fn=lambda: 0.0)
+            out = edit_attention.fast_attention(q, k, v, scale, allow_flash=True)
+        elif edit is None:
             # inversion / reconstruction / feature passes are all no-grad
             out = edit_attention.fast_attention(q, k, v, scale, allow_flash=True)
         else:
+            if edit.consume_taps:
+                # rebuild the [base, edit] stream pair at the attention
+                # boundary only — the rest of the UNet ran 1-stream
+                q_b = jax.lax.stop_gradient(self.get_variable("taps", "q"))
+                k_b = jax.lax.stop_gradient(self.get_variable("taps", "k"))
+                v_b = jax.lax.stop_gradient(self.get_variable("taps", "v"))
+                q = jnp.concatenate([q_b, q], axis=0)
+                k = jnp.concatenate([k_b, k], axis=0)
+                v = jnp.concatenate([v_b, v], axis=0)
             out, loss, logs = edit_attention.edited_attention(
                 q, k, v, is_cross=is_cross, state=edit, scale=scale
             )
+            if edit.consume_taps:
+                out = out[1:]
             self.sow(
                 "edit", "loss", loss,
                 reduce_fn=_sum_reduce, init_fn=lambda: jnp.float32(0.0),

@@ -109,3 +109,68 @@ def test_stitch_end_to_end(pipe, scene):
     res = perform_stitch(pipe, background, image, mask, depth, t, cfg=cfg, prompt="obj")
     assert res.edited_image.shape == (SIZE, SIZE, 3)
     assert np.isfinite(res.edited_image).all()
+
+
+def test_taps_split_grad_matches_joint(pipe, scene):
+    """The 1-stream differentiated edit pass over recorded base taps must
+    reproduce the joint 2-stream grad exactly (the base stream is
+    stop_gradient everywhere, so splitting it out of the graph is an
+    identity transformation)."""
+    from geodiffuser_tpu.core import edit_attention, edit_state
+    from geodiffuser_tpu.ops import image as image_ops
+    from geodiffuser_tpu.ops import transform_field as tf_ops
+
+    image, depth, mask = scene
+    cfg = EditConfig(num_ddim_steps=4)
+    sess = EditSession(pipe, cfg)
+    tf, masks = sess._preprocess(
+        jnp.asarray(image), jnp.asarray(depth),
+        image_ops.binarize(jnp.asarray(mask)),
+        jnp.asarray(camera.compose_transform(tx=0.05), jnp.float32),
+    )
+    ctx = pipe.encode_text(["x"])
+    lat = pipe.encode_image(jnp.asarray(image))
+    wm = sess._warp_mats(masks, np.float32(1.0), np.float32(0.8))
+    t = jnp.int32(300)
+    params = pipe.params["unet"]
+    lat_b = lat[0]
+    lat_e = lat[0] + 0.01
+    ctx_b = ctx[0].astype(jnp.float32)
+    ctx_e = ctx[0].astype(jnp.float32) * 1.01
+    w = {b: {k: np.float32(v) for k, v in t_.items()}
+         for b, t_ in cfg.resolved_loss_weights().items()}
+
+    # joint 2-stream formulation (the pre-split optimize pass)
+    state_joint = sess._state(masks, np.int32(1), w, np.float32(1.0),
+                              np.float32(0.8), use_cfg=False,
+                              compute_losses=True, warp_mats=wm)
+
+    def loss_joint(le, ce):
+        lat2 = jnp.stack([lat_b, le])
+        ctx2 = jnp.stack([ctx_b, ce])
+        _, aux = pipe.unet.apply(params, lat2, t, ctx2, state_joint, mutable=["edit"])
+        return edit_attention.collect_edit_aux(aux)[0]
+
+    # split formulation (RecordTaps + consume_taps)
+    state_split = sess._state(masks, np.int32(1), w, np.float32(1.0),
+                              np.float32(0.8), use_cfg=False,
+                              compute_losses=True, warp_mats=wm,
+                              consume_taps=True)
+    _, taps = pipe.unet.apply(
+        params, lat_b[None], t, ctx_b[None], edit_state.RecordTaps(),
+        mutable=["taps"],
+    )
+
+    def loss_split(le, ce):
+        _, aux = pipe.unet.apply(
+            {**params, **taps}, le[None], t, ce[None], state_split, mutable=["edit"]
+        )
+        return edit_attention.collect_edit_aux(aux)[0]
+
+    vj, gj = jax.value_and_grad(loss_joint, argnums=(0, 1))(lat_e, ctx_e)
+    vs, gs = jax.value_and_grad(loss_split, argnums=(0, 1))(lat_e, ctx_e)
+    np.testing.assert_allclose(float(vj), float(vs), rtol=1e-5)
+    for a, b, name in zip(gj, gs, ("d_latent", "d_ctx")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4, err_msg=name
+        )
