@@ -104,3 +104,44 @@ for edit_type in ("geometry_editor", "geometry_remover"):
         params, lat2, ctx4, np.int32(500), masks, np.int32(10), w,
         np.float32(1.0), np.float32(0.5), lat0, np.bool_(False), wm))
     print(f"  cfg step (4-stream): {dt*1e3:.1f} ms", flush=True)
+
+# ---- inversion decomposition: bare UNet scan vs the full inversion scan
+import functools as _ft
+
+ecfg0 = EditConfig()
+ctx_c0 = pipe.encode_text(["probe"])
+ctx_u0 = pipe.encode_text([""])
+lat00 = pipe.encode_image(img)
+
+
+@jax.jit
+def bare_scan(params, latent, ctx2):
+    def step(x, t):
+        batched = jnp.concatenate([x, x], axis=0)
+        eps = pipe.unet.apply(params, batched, t, ctx2)
+        return x - 1e-4 * eps[:1], None
+
+    out, _ = jax.lax.scan(step, latent, jnp.arange(50, dtype=jnp.int32) * 20)
+    return out
+
+
+from geodiffuser_tpu.core.editor import EditSession as _ES
+
+sess0 = _ES(pipe, ecfg0)
+ctx2_0 = jnp.concatenate([ctx_u0, ctx_c0], axis=0)
+
+t0 = time.time()
+out = bare_scan(pipe.params["unet"], lat00, ctx2_0)
+sync(out)
+t0 = time.time()
+out = bare_scan(pipe.params["unet"], lat00, ctx2_0)
+sync(out)
+print(f"bare 50x 2-stream UNet scan: {time.time()-t0:.2f} s", flush=True)
+
+t0 = time.time()
+out = sess0._invert(pipe.params["unet"], lat00, ctx_u0, ctx_c0)
+sync(out)
+t0 = time.time()
+out = sess0._invert(pipe.params["unet"], lat00, ctx_u0, ctx_c0)
+sync(out)
+print(f"full inversion scan: {time.time()-t0:.2f} s", flush=True)
