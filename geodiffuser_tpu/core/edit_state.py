@@ -75,6 +75,7 @@ class MaskSet(flax.struct.PyTreeNode):
     inpaint_overflow: Optional[jnp.ndarray] = None  # () scalar
 
 
+@jax.tree_util.register_pytree_node_class
 class RecordTaps:
     """Sentinel `edit` value: run the BASE stream vanilla and sow its
     per-layer attention q/k/v into the 'taps' collection.
@@ -86,6 +87,15 @@ class RecordTaps:
     a 1-stream differentiated edit pass consuming them — halves the width of
     the differentiated graph with identical math (the base stream is
     stop_gradient everywhere, attention_sharing.py:242)."""
+
+    # leafless pytree so the sentinel can flow through lifted transforms
+    # (nn.remat treats call args as pytrees of arrays)
+    def tree_flatten(self):
+        return (), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls()
 
 
 class EditState(flax.struct.PyTreeNode):

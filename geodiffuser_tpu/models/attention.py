@@ -179,7 +179,11 @@ class Transformer2DModel(nn.Module):
         # Selective: only the high-resolution blocks (seq >= 32^2) hold big
         # maps; low-res blocks keep their activations (cheap) and skip the
         # recompute.
-        use_remat = self.remat and (h * w >= 1024)
+        # the RecordTaps base pass is no-grad: remat would only complicate
+        # the 'taps' sow without saving any backward memory
+        use_remat = (
+            self.remat and (h * w >= 1024) and not isinstance(edit, RecordTaps)
+        )
         block_cls = nn.remat(BasicTransformerBlock) if use_remat else BasicTransformerBlock
         for i in range(self.num_layers):
             y = block_cls(
