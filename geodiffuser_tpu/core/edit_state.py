@@ -136,9 +136,19 @@ class EditState(flax.struct.PyTreeNode):
     @property
     def n_vanilla_streams(self) -> int:
         """Streams that keep vanilla attention (reference coords_base[1]:
-        3 under CFG — uncond_base, uncond_edit, cond_base — else 1)."""
+        3 under CFG — uncond_base, uncond_edit, cond_base — else 1).
+
+        Stream orderings by mode (after the consume-taps concat, when used):
+          no CFG:                [base, edit]
+          no CFG + taps:         [base(tap), edit]
+          CFG (reference):       [uncond_base, uncond_edit, cond_base, cond_edit]
+          CFG slim:              [uncond_edit, cond_base, cond_edit]
+          CFG slim + taps:       [cond_base(tap), uncond_edit, cond_edit]
+        """
         if not self.use_cfg:
             return 1
+        if self.consume_taps:
+            return 2        # tap stream + uncond_edit are both vanilla
         return 2 if self.slim_cfg else 3
 
     @property
@@ -146,12 +156,16 @@ class EditState(flax.struct.PyTreeNode):
         """The conditional base stream (reference coords_base: (2,3) CFG / (0,1))."""
         if not self.use_cfg:
             return 0
+        if self.consume_taps:
+            return 0
         return 1 if self.slim_cfg else 2
 
     @property
     def edit_idx(self) -> int:
         if not self.use_cfg:
             return 1
+        if self.consume_taps:
+            return 2
         return 2 if self.slim_cfg else 3
 
 

@@ -82,6 +82,7 @@ class EditSession:
         )
         self._optimize_step = jax.jit(self._optimize_step_impl)
         self._cfg_step = jax.jit(self._cfg_step_impl)
+        self._cfg_step_taps = jax.jit(self._cfg_step_taps_impl)
         self._cfg_tail = jax.jit(self._cfg_tail_impl)
         self._preprocess = jax.jit(self._preprocess_impl)
         self._warp_mats = jax.jit(
@@ -194,7 +195,9 @@ class EditSession:
         # a full tunnel round trip on this platform
         log_keys = sorted(logs.keys())
         log_vec = jnp.stack([loss] + [logs[k_] for k_ in log_keys])
-        return latents2, context4, sgd_state, log_vec
+        # taps are returned so the same step's CFG pass can reuse them for
+        # its cond_base stream (same base latent + context + timestep)
+        return latents2, context4, sgd_state, log_vec, taps
 
     # -------------------------------------------------------------------- cfg
     def _cfg_step_impl(
@@ -230,6 +233,42 @@ class EditSession:
         if self.mode == "editor":
             # Hard warp-replace of the edit latent inside the warped mask
             # while i < latent_replace*T (editor.py:382-399)
+            res = self.pipeline.latent_size
+            ms = masks[res]
+            warped = splat_ops.apply_warp_matrix(state.warp_mats[res], new_latents[0])
+            i_mask = image_ops.binarize(ms.mask_new_warped_2d)[..., None]
+            replaced = new_latents[1] * (1.0 - i_mask) + i_mask * warped
+            edit_lat = jnp.where(do_replace, replaced, new_latents[1])
+            new_latents = jnp.concatenate([new_latents[:1], edit_lat[None]], axis=0)
+        return new_latents
+
+    def _cfg_step_taps_impl(
+        self, params_unet, latents2, context4, t, masks, i, weights, radius, tau,
+        pinned_base, do_replace, warp_mats, taps,
+    ):
+        """CFG step variant for optimize steps: the cond_base stream's eps is
+        unused under slim CFG (trajectory pinning) and its only role —
+        providing k/v to the edited cond stream — is served by the taps the
+        optimize pass just recorded at the SAME (base latent, context, t).
+        2 live streams [uncond_edit, cond_edit] instead of 3."""
+        cfg = self.cfg
+        state = self._state(masks, i, weights, radius, tau, use_cfg=True,
+                            compute_losses=False, warp_mats=warp_mats,
+                            slim_cfg=True, consume_taps=True)
+        lat_e = latents2[1]
+        latents_in = jnp.stack([lat_e, lat_e])
+        ctx2 = jnp.stack([context4[1], context4[3]])
+        eps = self.pipeline.unet.apply(
+            {**params_unet, **taps}, latents_in, t, ctx2, state
+        )
+        eps_g = eps[0] + cfg.guidance_scale * (eps[1] - eps[0])
+        new_edit = sched.ddim_step(
+            self.pipeline.schedule, eps_g[None], t, lat_e[None], cfg.num_ddim_steps
+        )
+        new_latents = jnp.concatenate(
+            [pinned_base.reshape(new_edit.shape), new_edit], axis=0
+        )
+        if self.mode == "editor":
             res = self.pipeline.latent_size
             ms = masks[res]
             warped = splat_ops.apply_warp_matrix(state.warp_mats[res], new_latents[0])
@@ -406,7 +445,7 @@ class EditSession:
                 best = (np.inf, None, None)
                 for _ in range(n_inner):
                     prev_state = (latents2, context4)
-                    latents2, context4, sgd_state, log_vec = self._optimize_step(
+                    latents2, context4, sgd_state, log_vec, taps = self._optimize_step(
                         self.pipeline.params["unet"], latents2, context4, t_j,
                         masks, i_j, wa, r_j, tau_j, lr_eff, sgd_state, wm,
                     )
@@ -440,10 +479,17 @@ class EditSession:
 
             pinned = all_latents[n - 1 - i]
             do_replace = np.bool_(i < cfg.latent_replace * n)
-            latents2 = self._cfg_step(
-                self.pipeline.params["unet"], latents2, context4, t_j,
-                masks, i_j, wa, r_j, tau_j, pinned, do_replace, wm,
-            )
+            if do_optimize:
+                # reuse the optimize pass's base taps for the cond_base k/v
+                latents2 = self._cfg_step_taps(
+                    self.pipeline.params["unet"], latents2, context4, t_j,
+                    masks, i_j, wa, r_j, tau_j, pinned, do_replace, wm, taps,
+                )
+            else:
+                latents2 = self._cfg_step(
+                    self.pipeline.params["unet"], latents2, context4, t_j,
+                    masks, i_j, wa, r_j, tau_j, pinned, do_replace, wm,
+                )
 
         if tail_start < n:
             k = n - tail_start

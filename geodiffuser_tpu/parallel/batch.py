@@ -129,6 +129,10 @@ class ShardedEditSession(EditSession):
             self._cfg_step_impl,
             in_axes=(None, 0, 0, None, 0, None, 0, None, None, 0, None, 0),
         )
+        vcfg_taps = jax.vmap(
+            self._cfg_step_taps_impl,
+            in_axes=(None, 0, 0, None, 0, None, 0, None, None, 0, None, 0, 0),
+        )
         vtail = jax.vmap(
             self._cfg_tail_impl,
             in_axes=(None, 0, 0, 0, None, None, None, None, 0, 0, 0),
@@ -152,6 +156,7 @@ class ShardedEditSession(EditSession):
         # arg shardings (GSPMD) — params replicated, edit-batched arrays on dp.
         self._b_optimize = jax.jit(vopt)
         self._b_cfg = jax.jit(vcfg)
+        self._b_cfg_taps = jax.jit(vcfg_taps)
         self._b_cfg_tail = jax.jit(vtail)
         self._b_preprocess = jax.jit(vpre)
         self._b_invert = jax.jit(vinv)
@@ -281,7 +286,7 @@ class ShardedEditSession(EditSession):
                     if cfg.use_optimizer
                     else jnp.float32(optimization.effective_lr(cfg.lr, i, cfg.skip_optim_steps, n))
                 )
-                latents2, context4, sgd_state, log_vec = self._b_optimize(
+                latents2, context4, sgd_state, log_vec, taps = self._b_optimize(
                     self.pipeline.params["unet"], latents2, context4, t_j,
                     masks, i_j, wa, r_j, tau_j, lr_eff, sgd_state, wm,
                 )
@@ -305,10 +310,16 @@ class ShardedEditSession(EditSession):
 
             pinned = all_latents[:, n - 1 - i]
             do_replace = jnp.bool_(i < cfg.latent_replace * n)
-            latents2 = self._b_cfg(
-                self.pipeline.params["unet"], latents2, context4, t_j,
-                masks, i_j, wa, r_j, tau_j, pinned, do_replace, wm,
-            )
+            if do_optimize:
+                latents2 = self._b_cfg_taps(
+                    self.pipeline.params["unet"], latents2, context4, t_j,
+                    masks, i_j, wa, r_j, tau_j, pinned, do_replace, wm, taps,
+                )
+            else:
+                latents2 = self._b_cfg(
+                    self.pipeline.params["unet"], latents2, context4, t_j,
+                    masks, i_j, wa, r_j, tau_j, pinned, do_replace, wm,
+                )
 
         if tail_start < n:
             idx = jnp.asarray([n - 1 - i for i in range(tail_start, n)])
