@@ -72,8 +72,16 @@ def run_folder_sweep(
     skip_existing: bool = True,
     group_size: int = 0,
     limit: Optional[int] = None,
+    pipe=None,
+    config_overrides: Optional[Dict] = None,
 ) -> Dict[str, float]:
-    """Run every experiment under exp_root; returns {folder: seconds}."""
+    """Run every experiment under exp_root; returns {folder: seconds}.
+
+    `pipe` injects a prebuilt Pipeline (tests use a tiny one);
+    `config_overrides` are dataclasses.replace kwargs applied to every
+    per-type EditConfig (e.g. num_ddim_steps for smoke runs)."""
+    import dataclasses as _dc
+
     import jax.numpy as jnp
 
     from geodiffuser_tpu.core.editor import EditSession
@@ -81,8 +89,9 @@ def run_folder_sweep(
     from geodiffuser_tpu.parallel.batch import ShardedEditSession
     from geodiffuser_tpu.parallel.sharding import make_mesh
 
-    mcfg = ModelConfig(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
-    pipe = Pipeline.create(mcfg, image_size=image_size, checkpoint_dir=checkpoint_dir)
+    if pipe is None:
+        mcfg = ModelConfig(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+        pipe = Pipeline.create(mcfg, image_size=image_size, checkpoint_dir=checkpoint_dir)
 
     sessions: Dict[str, EditSession] = {}
     times: Dict[str, float] = {}
@@ -102,8 +111,19 @@ def run_folder_sweep(
     def get_session(edit_type: str) -> EditSession:
         if edit_type not in sessions:
             cfg = config_for_edit_type(edit_type, num_ddim_steps)
+            if config_overrides:
+                cfg = _dc.replace(cfg, **config_overrides)
             if group_size > 1:
-                sessions[edit_type] = ShardedEditSession(pipe, cfg, mesh=make_mesh())
+                # dp must divide the edit batch: largest divisor of
+                # group_size that fits the device count
+                import jax
+
+                n_dev = len(jax.devices())
+                n_dp = max(d for d in range(1, min(group_size, n_dev) + 1)
+                           if group_size % d == 0)
+                sessions[edit_type] = ShardedEditSession(
+                    pipe, cfg, mesh=make_mesh(n_dp=n_dp)
+                )
             else:
                 sessions[edit_type] = EditSession(pipe, cfg)
         return sessions[edit_type]

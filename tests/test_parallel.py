@@ -129,3 +129,60 @@ def test_fid_is_math():
     sharp = np.eye(10)[rng.randint(0, 10, 100)] * 50.0
     m2, _ = fid.inception_score(sharp)
     assert m2 > 5.0
+
+
+def test_driver_folder_sweep_end_to_end(tmp_path):
+    """run_folder_sweep over a synthetic tree: category routing, per-type
+    sessions, skip-existing/resume, results + loss logs on disk — both the
+    sequential and lockstep (sharded-group) paths."""
+    import jax.numpy as jnp
+
+    from geodiffuser_tpu.parallel import driver
+
+    size = SIZE
+    rng = np.random.RandomState(0)
+    yy, xx = np.mgrid[0:size, 0:size]
+    mask = (((xx - 25) ** 2 + (yy - 35) ** 2) < 12 ** 2).astype(np.float32)
+    for cat, n in (("Translation_2D", 2), ("Removal", 1), ("Scaling", 1)):
+        for i in range(n):
+            folder = str(tmp_path / cat / str(i))
+            img = (rng.rand(size, size, 3) * 255).astype(np.uint8)
+            exp_io.save_exp(
+                folder, img, np.full((size, size), 0.5, np.float32), mask,
+                camera.compose_transform(tx=0.03), image_shape=(size, size),
+            )
+
+    pipe = Pipeline.create(ModelConfig.tiny(), image_size=size)
+    overrides = dict(num_ddim_steps=2, skip_optim_steps=1)
+    times = driver.run_folder_sweep(
+        str(tmp_path), image_size=size, pipe=pipe, config_overrides=overrides,
+        num_ddim_steps=2,
+    )
+    # Scaling is skipped (reference large_scale_editor.py:377-386)
+    assert len(times) == 3
+    import os
+
+    for cat in ("Translation_2D", "Removal"):
+        for sub in os.listdir(tmp_path / cat):
+            folder = tmp_path / cat / sub
+            assert (folder / "result_ls.png").exists()
+            assert (folder / "loss_log.json").exists()
+
+    # resume: everything already has results -> nothing runs
+    times2 = driver.run_folder_sweep(
+        str(tmp_path), image_size=size, pipe=pipe, config_overrides=overrides,
+        num_ddim_steps=2,
+    )
+    assert times2 == {}
+
+    # lockstep sharded groups (fresh copies without results)
+    import shutil
+
+    for cat in ("Translation_2D",):
+        for sub in os.listdir(tmp_path / cat):
+            os.remove(tmp_path / cat / sub / "result_ls.png")
+    times3 = driver.run_folder_sweep(
+        str(tmp_path), image_size=size, pipe=pipe, config_overrides=overrides,
+        num_ddim_steps=2, group_size=2,
+    )
+    assert len(times3) == 2
