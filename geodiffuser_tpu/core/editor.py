@@ -221,26 +221,7 @@ class EditSession:
         ctx3 = jnp.stack([context4[1], context4[2], context4[3]])
         eps = self.pipeline.unet.apply(params_unet, latents_in, t, ctx3, state)
         eps_g = eps[0] + cfg.guidance_scale * (eps[2] - eps[0])
-        new_edit = sched.ddim_step(
-            self.pipeline.schedule, eps_g[None], t, lat_e[None], cfg.num_ddim_steps
-        )
-
-        # Pin the base stream to the stored inversion trajectory (editor.py:375-377)
-        new_latents = jnp.concatenate(
-            [pinned_base.reshape(new_edit.shape), new_edit], axis=0
-        )
-
-        if self.mode == "editor":
-            # Hard warp-replace of the edit latent inside the warped mask
-            # while i < latent_replace*T (editor.py:382-399)
-            res = self.pipeline.latent_size
-            ms = masks[res]
-            warped = splat_ops.apply_warp_matrix(state.warp_mats[res], new_latents[0])
-            i_mask = image_ops.binarize(ms.mask_new_warped_2d)[..., None]
-            replaced = new_latents[1] * (1.0 - i_mask) + i_mask * warped
-            edit_lat = jnp.where(do_replace, replaced, new_latents[1])
-            new_latents = jnp.concatenate([new_latents[:1], edit_lat[None]], axis=0)
-        return new_latents
+        return self._finish_cfg(state, masks, eps_g, lat_e, t, pinned_base, do_replace)
 
     def _cfg_step_taps_impl(
         self, params_unet, latents2, context4, t, masks, i, weights, radius, tau,
@@ -262,8 +243,15 @@ class EditSession:
             {**params_unet, **taps}, latents_in, t, ctx2, state
         )
         eps_g = eps[0] + cfg.guidance_scale * (eps[1] - eps[0])
+        return self._finish_cfg(state, masks, eps_g, lat_e, t, pinned_base, do_replace)
+
+    def _finish_cfg(self, state, masks, eps_g, lat_e, t, pinned_base, do_replace):
+        """Shared CFG-step tail: DDIM step on the edit stream, base-stream
+        trajectory pinning (editor.py:375-377), and the editor-mode hard
+        latent warp-replace while i < latent_replace*T (editor.py:382-399)."""
         new_edit = sched.ddim_step(
-            self.pipeline.schedule, eps_g[None], t, lat_e[None], cfg.num_ddim_steps
+            self.pipeline.schedule, eps_g[None], t, lat_e[None],
+            self.cfg.num_ddim_steps,
         )
         new_latents = jnp.concatenate(
             [pinned_base.reshape(new_edit.shape), new_edit], axis=0

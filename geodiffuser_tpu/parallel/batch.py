@@ -350,11 +350,9 @@ class ShardedEditSession(EditSession):
         # fetch ONLY what _postprocess reads — pulling the whole mask pytree
         # ships the 4096^2 distance matrices etc. through the device tunnel
         # (~4 s/batch measured)
+        from types import SimpleNamespace
+
         res_lat = self.pipeline.latent_size
-
-        class _TF:
-            warped_preview = None
-
         masks_small = {
             res_lat: masks[res_lat].replace(
                 distance=None, interp_idx=None, interp_vals=None, interp_w=None,
@@ -364,8 +362,7 @@ class ShardedEditSession(EditSession):
         masks_host = jax.tree.map(np.asarray, masks_small)
         previews = np.asarray(tf.warped_preview)
         for j in range(e):
-            tf_j = _TF()
-            tf_j.warped_preview = previews[j]
+            tf_j = SimpleNamespace(warped_preview=previews[j])
             masks_j = jax.tree.map(lambda a, j=j: a[j], masks_host)
             edited.append(
                 self._postprocess(decoded[j, -1], imgs_np[j], tf_j, msk_np[j], masks_j)

@@ -106,8 +106,6 @@ for edit_type in ("geometry_editor", "geometry_remover"):
     print(f"  cfg step (4-stream): {dt*1e3:.1f} ms", flush=True)
 
 # ---- inversion decomposition: bare UNet scan vs the full inversion scan
-import functools as _ft
-
 ecfg0 = EditConfig()
 ctx_c0 = pipe.encode_text(["probe"])
 ctx_u0 = pipe.encode_text([""])

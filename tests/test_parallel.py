@@ -135,8 +135,6 @@ def test_driver_folder_sweep_end_to_end(tmp_path):
     """run_folder_sweep over a synthetic tree: category routing, per-type
     sessions, skip-existing/resume, results + loss logs on disk — both the
     sequential and lockstep (sharded-group) paths."""
-    import jax.numpy as jnp
-
     from geodiffuser_tpu.parallel import driver
 
     size = SIZE
@@ -176,8 +174,6 @@ def test_driver_folder_sweep_end_to_end(tmp_path):
     assert times2 == {}
 
     # lockstep sharded groups (fresh copies without results)
-    import shutil
-
     for cat in ("Translation_2D",):
         for sub in os.listdir(tmp_path / cat):
             os.remove(tmp_path / cat / sub / "result_ls.png")
