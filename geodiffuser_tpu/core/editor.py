@@ -506,23 +506,53 @@ class EditSession:
         timings["edit_loop"] = time.time() - t_loop
         self._warn_row_budget(masks)
 
-        # --- decode + histogram-matching post-process (editor.py:660-694)
+        # --- decode + histogram-matching post-process (editor.py:660-694).
+        # One jitted bundle + one device_get: separate np.asarray fetches of
+        # images / warped preview / resized mask each pay a tunnel round trip
         t_post = time.time()
-        images = self.pipeline.decode_latents(latents2)
-        edited = self._postprocess(images[-1], image, tf, np.asarray(mask_j), masks)
+        if not hasattr(self, "_decode_bundle"):
+            def _bundle(params_vae, lat, preview, mask2d):
+                img = self.pipeline.vae.apply(
+                    params_vae, lat / self.pipeline.config.vae_scaling_factor,
+                    method=self.pipeline.vae.decode,
+                )
+                img = jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
+                images_u8 = jnp.round(img * 255.0).astype(jnp.uint8)
+                h_img = images_u8.shape[1]
+                res_mask = image_ops.binarize(
+                    image_ops.resize_bilinear(mask2d, h_img, h_img)
+                )
+                warped_u8 = jnp.round(
+                    jnp.clip(preview, 0.0, 1.0) * 255.0
+                ).astype(jnp.uint8)
+                return images_u8, res_mask, warped_u8
+
+            self._decode_bundle = jax.jit(_bundle)
+        images, res_mask, warped_input = jax.device_get(self._decode_bundle(
+            self.pipeline.params["vae"], latents2, tf.warped_preview,
+            masks[self.pipeline.latent_size].mask_new_warped_2d,
+        ))
+        edited = self._postprocess(
+            images[-1], image, np.asarray(mask_j),
+            res_mask=res_mask, warped_input=warped_input,
+        )
         timings["decode_post"] = time.time() - t_post
         timings["total"] = time.time() - t_start
         return EditResult(
             images=images,
             edited_image=edited,
             loss_log=loss_log,
-            warped_preview=np.asarray(tf.warped_preview),
+            warped_preview=warped_input,
             timings=timings,
         )
 
-    def _postprocess(self, edited_u8, image_f, tf, mask_np, masks) -> np.ndarray:
+    def _postprocess(self, edited_u8, image_f, mask_np, res_mask=None,
+                     warped_input=None, tf=None, masks=None) -> np.ndarray:
         """Masked histogram matching of the edit against the warp-composited
-        input (editor.py:660-694)."""
+        input (editor.py:660-694).
+
+        `res_mask`/`warped_input` come prefetched from the decode bundle;
+        the tf/masks fallback serves callers outside the run loop."""
         cfg = self.cfg
         image_u8 = np.asarray(np.clip(image_f * 255.0, 0, 255)).astype(np.uint8)
         if cfg.edit_type == "geometry_remover":
@@ -531,17 +561,21 @@ class EditSession:
             ).astype(np.uint8)
 
         # editor: composite input with its warped self inside the warped mask
-        res_mask = np.asarray(
-            image_ops.binarize(
-                image_ops.resize_bilinear(
-                    masks[self.pipeline.latent_size].mask_new_warped_2d,
-                    image_u8.shape[0], image_u8.shape[1],
+        if res_mask is None:
+            res_mask = np.asarray(
+                image_ops.binarize(
+                    image_ops.resize_bilinear(
+                        masks[self.pipeline.latent_size].mask_new_warped_2d,
+                        image_u8.shape[0], image_u8.shape[1],
+                    )
                 )
             )
-        )
-        warped_input = np.asarray(
-            jnp.clip(tf.warped_preview, 0.0, 1.0) * 255.0
-        ).astype(np.uint8)
+        if warped_input is None:
+            warped_input = np.asarray(
+                jnp.clip(tf.warped_preview, 0.0, 1.0) * 255.0
+            ).astype(np.uint8)
+        res_mask = np.asarray(res_mask)
+        warped_input = np.asarray(warped_input)
         mask_changed = ((res_mask + mask_np) > 0.5) * 1.0
         mask_bg = ((1.0 - mask_changed) > 0.5) * 1.0
         composite = (

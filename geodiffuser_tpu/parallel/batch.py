@@ -365,7 +365,8 @@ class ShardedEditSession(EditSession):
             tf_j = SimpleNamespace(warped_preview=previews[j])
             masks_j = jax.tree.map(lambda a, j=j: a[j], masks_host)
             edited.append(
-                self._postprocess(decoded[j, -1], imgs_np[j], tf_j, msk_np[j], masks_j)
+                self._postprocess(decoded[j, -1], imgs_np[j], msk_np[j],
+                                  tf=tf_j, masks=masks_j)
             )
         timings["decode_post"] = time.time() - t_post
         timings["total"] = time.time() - t_start
