@@ -171,7 +171,11 @@ def removal_loss_fused(
     p_in, p_bg, _, j_bg = rc.removal_correlation(
         qe_rows, k_r, sg(q_b), sg(k_b), ms.inpaint, ms.background, row_mask, scale
     )
-    d_bg = ms.distance[rows[None, :], j_bg]              # (h, K)
+    # distance weights from pixel positions on the fly (the dense (L, L)
+    # grid cost ~6 ms/step of row slicing in the compiled program)
+    d_bg = jnp.sqrt(
+        ((ms.pos[rows][None] - ms.pos[j_bg]) ** 2).sum(-1) + 1e-12
+    )                                                    # (h, K)
     return _removal_per_row_loss(p_in, p_bg, d_bg, row_mask, ms.inpaint.sum(), h)
 
 
@@ -213,7 +217,11 @@ def removal_loss(
     p_in = jnp.max(corr_in, axis=-1)
     p_bg = jnp.max(corr_bg, axis=-1)
     j_bg = jnp.argmax(corr_bg, axis=-1)                  # (h, K)
-    d_bg = ms.distance[rows[None, :], j_bg]              # (h, K)
+    # distance weights from pixel positions on the fly (the dense (L, L)
+    # grid cost ~6 ms/step of row slicing in the compiled program)
+    d_bg = jnp.sqrt(
+        ((ms.pos[rows][None] - ms.pos[j_bg]) ** 2).sum(-1) + 1e-12
+    )                                                    # (h, K)
     return _removal_per_row_loss(p_in, p_bg, d_bg, row_mask, ms.inpaint.sum(), h, eps)
 
 

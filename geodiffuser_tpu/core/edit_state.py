@@ -62,7 +62,11 @@ class MaskSet(flax.struct.PyTreeNode):
     background: jnp.ndarray
     mask_new_warped_2d: jnp.ndarray          # (res, res) for query warping
     t_coords: jnp.ndarray                    # (res, res, 3)
-    distance: Optional[jnp.ndarray] = None   # (seq, seq), loss resolutions only
+    # NDC pixel-center positions (seq, 2) at loss resolutions: the removal
+    # loss computes its distance weights from these on the fly — carrying the
+    # full (seq, seq) distance matrix into the step programs cost ~6 ms/step
+    # of f32[4096,4096] row slicing (profiled) plus 67 MB of HBM
+    pos: Optional[jnp.ndarray] = None
     # Static-per-edit precomputations for the loss layers (amortize work the
     # reference redoes inside every attention layer of every optimize step):
     interp_idx: Optional[jnp.ndarray] = None   # (seq, 4) amodal top-4 sources
@@ -169,17 +173,26 @@ class EditState(flax.struct.PyTreeNode):
         return 2 if self.slim_cfg else 3
 
 
-def coordinate_distance_grid(res: int) -> jnp.ndarray:
-    """Pairwise NDC distances between pixel centers, shape (res^2, res^2).
-
-    Matches torch affine_grid(align_corners=False) coordinates used by
-    CoordinateDistances (generic_torch.py:126-140): x_i = (2i+1)/res - 1.
-    """
+def coordinate_positions(res: int) -> jnp.ndarray:
+    """NDC pixel-center positions (seq, 2), torch affine_grid
+    (align_corners=False) convention: x_i = (2i+1)/res - 1
+    (CoordinateDistances, generic_torch.py:126-140)."""
     x = (2.0 * jnp.arange(res, dtype=jnp.float32) + 1.0) / res - 1.0
     yy, xx = jnp.meshgrid(x, x, indexing="ij")
-    pts = jnp.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1)  # (seq, 2)
-    d2 = jnp.sum((pts[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
+    return jnp.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1)
+
+
+def pairwise_distance(pos_a: jnp.ndarray, pos_b: jnp.ndarray) -> jnp.ndarray:
+    """||pos_a[..., None, :] - pos_b[..., None, :, :]|| with the same eps as
+    the former dense grid."""
+    d2 = jnp.sum((pos_a[..., :, None, :] - pos_b[..., None, :, :]) ** 2, axis=-1)
     return jnp.sqrt(d2 + 1e-12)
+
+
+def coordinate_distance_grid(res: int) -> jnp.ndarray:
+    """Pairwise NDC distances between pixel centers, shape (res^2, res^2)."""
+    pts = coordinate_positions(res)
+    return pairwise_distance(pts, pts)
 
 
 def build_mask_sets(
@@ -241,6 +254,7 @@ def build_mask_sets(
             m_new = inpaint
 
         is_loss_res = seq >= loss_min_seq(max(resolutions))
+        pos = coordinate_positions(res) if is_loss_res else None
         dist = coordinate_distance_grid(res) if is_loss_res else None
         interp_idx = interp_vals = interp_w = rows = row_mask = overflow = None
         inpaint_flat = inpaint.reshape(-1)
@@ -271,7 +285,7 @@ def build_mask_sets(
             background=background.reshape(-1),
             mask_new_warped_2d=m_new.reshape(res, res),
             t_coords=tc,
-            distance=dist,
+            pos=pos,
             interp_idx=interp_idx,
             interp_vals=interp_vals,
             interp_w=interp_w,

@@ -355,7 +355,7 @@ class ShardedEditSession(EditSession):
         res_lat = self.pipeline.latent_size
         masks_small = {
             res_lat: masks[res_lat].replace(
-                distance=None, interp_idx=None, interp_vals=None, interp_w=None,
+                pos=None, interp_idx=None, interp_vals=None, interp_w=None,
                 inpaint_rows=None, inpaint_row_mask=None, inpaint_overflow=None,
             )
         }
