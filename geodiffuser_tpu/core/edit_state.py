@@ -17,7 +17,7 @@ precomputed, traced state:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Optional
+from typing import Dict, Mapping, Optional
 
 import flax.struct
 import jax

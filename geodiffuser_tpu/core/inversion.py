@@ -10,7 +10,6 @@ perform_inversion=False from the batch driver (large_scale_editor.py:208).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -16,7 +16,6 @@ with momentum=0.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, Mapping, Optional, Tuple
 
 import flax.struct

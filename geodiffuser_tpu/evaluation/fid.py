@@ -9,7 +9,7 @@ widely used variant) since Inception weights are not available offline.
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, Optional, Tuple
+from typing import Callable, Tuple
 
 import numpy as np
 import scipy.linalg

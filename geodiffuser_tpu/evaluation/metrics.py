@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from geodiffuser_tpu.ops import image as image_ops
 from geodiffuser_tpu.ops import splat as splat_ops
 
 

@@ -11,7 +11,7 @@ NHWC; parameter names mirror the torch module tree for conversion.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import flax.linen as nn
 import jax

@@ -19,7 +19,7 @@ Parameter names mirror the torch module tree for checkpoint conversion
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

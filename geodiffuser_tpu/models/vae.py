@@ -8,7 +8,7 @@ architecture, different weights.  Scaling factor 0.18215 applied by callers
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -24,7 +24,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from geodiffuser_tpu.config import EDITOR_LOSS_WEIGHTS, EditConfig, ModelConfig, SplatConfig
+from geodiffuser_tpu.config import EDITOR_LOSS_WEIGHTS, EditConfig, ModelConfig
 from geodiffuser_tpu.utils import exp_io
 
 log = logging.getLogger("geodiffuser_tpu.driver")

@@ -143,8 +143,6 @@ class DepthAnythingPredictor:
         self.model = DepthAnything(self.cfg)
         if params is None:
             if checkpoint_path:
-                from safetensors import safe_open
-
                 from geodiffuser_tpu.models import weights as weights_lib
 
                 state = weights_lib._load_safetensors(checkpoint_path)
