@@ -68,7 +68,12 @@ def main():
     # diffusion.py:107); the UNet is frozen so no fp32 master copy is needed.
     mcfg = ModelConfig(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
                        remat=args.remat)
-    ecfg = EditConfig(num_ddim_steps=args.steps, edit_type=args.edit_type)
+    # cache_inversion=False: the headline measures a FRESH edit (the session
+    # memoizes the DDIM trajectory per image+prompt, which would otherwise
+    # make repeat timings skip inversion); the cached re-edit workload is
+    # recorded separately as repeat_edit_sec.
+    ecfg = EditConfig(num_ddim_steps=args.steps, edit_type=args.edit_type,
+                      cache_inversion=False)
 
     pipe = Pipeline.create(mcfg, image_size=args.size)
     sess = EditSession(pipe, ecfg)
@@ -98,11 +103,26 @@ def main():
         "vs_baseline": round(10.0 / sec_per_edit, 3),
     }
 
+    # Re-edit of the same image (the UI transform-knob iteration workload):
+    # the session's inversion cache converts the DDIM inversion to ~0 s.
+    import dataclasses as _dc
+
+    sess.cfg = _dc.replace(sess.cfg, cache_inversion=True)
+    sess.run(image, depth, mask, transform, prompt=args.prompt)  # prime cache
+    t0 = time.time()
+    res = sess.run(image, depth, mask, transform, prompt=args.prompt)
+    record["repeat_edit_sec"] = round(time.time() - t0, 3)
+    if args.verbose:
+        print(f"# repeat edit (cached inversion): {record['repeat_edit_sec']:.2f}s "
+              f"timings={res.timings}", file=sys.stderr)
+    sess.cfg = _dc.replace(sess.cfg, cache_inversion=False)
+
     # Removal is the second headline edit type (large_scale_editor.py:377-386
     # maps the Removal category to geometry_remover); record it in the same
     # JSON line so both numbers land in BENCH_r{N}.json.
     if args.edit_type == "geometry_editor" and not args.skip_remover:
-        rcfg = EditConfig(num_ddim_steps=args.steps, edit_type="geometry_remover")
+        rcfg = EditConfig(num_ddim_steps=args.steps, edit_type="geometry_remover",
+                          cache_inversion=False)
         rsess = EditSession(pipe, rcfg)
         t0 = time.time()
         try:

@@ -93,6 +93,11 @@ class EditConfig:
     fast_start_steps: float = 0.0
     num_first_optim_steps: int = 1
     perform_inversion: bool = False  # null-text optimization (off by default, as in reference)
+    # Memoize the DDIM inversion trajectory per (image, prompt, model):
+    # in-memory on the session, on-disk in the experiment folder when one is
+    # passed (exp_io.load/save_inversion).  The reference re-inverts on every
+    # edit (editor.py:581-589).
+    cache_inversion: bool = True
 
     # Geometry
     focal_length: float = 550.0      # vis_utils.py:406
@@ -136,9 +141,15 @@ class ModelConfig:
     block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
     layers_per_block: int = 2
     num_attention_heads: int = 8
+    # SD-2.x style per-down-block head counts (diffusers attention_head_dim
+    # list, e.g. (5, 10, 20, 20) = 64-dim heads); None -> num_attention_heads
+    # for every block (SD-1.x)
+    attention_head_dims: Optional[Tuple[int, ...]] = None
     cross_attention_dim: int = 768
     transformer_layers_per_block: int = 1
     norm_num_groups: int = 32
+    # SD-2.x Transformer2DModel uses Dense proj_in/proj_out; SD-1.x 1x1 convs
+    use_linear_projection: bool = False
     # VAE
     vae_block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
     vae_layers_per_block: int = 2
@@ -150,6 +161,7 @@ class ModelConfig:
     text_layers: int = 12
     text_heads: int = 12
     text_max_length: int = 77
+    text_hidden_act: str = "quick_gelu"   # SD-2.x OpenCLIP uses "gelu"
     # numerics
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
@@ -160,6 +172,41 @@ class ModelConfig:
     # geometry_remover program does NOT (17.0G > 15.75G).  True is the safe
     # default; bench.py uses --no-remat for the editor-only headline.
     remat: bool = True
+
+    def heads_for_block(self, block_idx: int) -> int:
+        if self.attention_head_dims is not None:
+            return self.attention_head_dims[block_idx]
+        return self.num_attention_heads
+
+    @staticmethod
+    def sd21() -> "ModelConfig":
+        """stabilityai/stable-diffusion-2-1 geometry: 64-dim heads
+        ((5,10,20,20) per block), linear transformer projections, OpenCLIP
+        ViT-H text tower (1024-wide, penultimate layer -> 23 layers, gelu).
+
+        Used by the SD-2.1 DIFT featurizer configuration the reference's MD
+        metric requires (evaluation/dift_sd.py:13-80, t=261, up_ft_index=1;
+        image_fidelity.py:150-166)."""
+        return ModelConfig(
+            attention_head_dims=(5, 10, 20, 20),
+            cross_attention_dim=1024,
+            use_linear_projection=True,
+            text_hidden_size=1024,
+            text_layers=23,
+            text_heads=16,
+            text_hidden_act="gelu",
+        )
+
+    @staticmethod
+    def tiny_sd21() -> "ModelConfig":
+        """Miniature SD-2.x-style config (per-block heads + linear
+        projections) for CPU tests."""
+        return dataclasses.replace(
+            ModelConfig.tiny(),
+            attention_head_dims=(1, 2, 2, 2),
+            use_linear_projection=True,
+            text_hidden_act="gelu",
+        )
 
     @staticmethod
     def tiny() -> "ModelConfig":

@@ -298,19 +298,28 @@ def _warp_queries(q_base: jnp.ndarray, ms: MaskSet, state: EditState) -> jnp.nda
     543-545).  Fully detached, as in the reference.
 
     Uses the precomputed dense warp operator (one MXU matmul) when the state
-    carries one; falls back to the scatter splat otherwise."""
+    carries one; falls back to the scatter splat otherwise.
+
+    The matmul runs in the model dtype (bf16 on TPU, f32 accumulation on
+    the MXU): q_base IS bf16 and the blend result is cast back to bf16
+    either way, so only the operator weights' bf16 rounding (~0.4% on
+    normalized splat weights) is an approximation — below the fp16
+    precision the reference computes attention at.  Profiled: the five
+    64^2-layer f32 warp matmuls were ~21 ms of the 89 ms optimize step."""
     h, l, d = q_base.shape
     res = int(math.isqrt(l))
-    q_img = q_base.transpose(1, 0, 2).reshape(res, res, h * d).astype(jnp.float32)
+    q_img = q_base.transpose(1, 0, 2).reshape(res, res, h * d)
     if state.warp_mats is not None and res in state.warp_mats:
-        q_warp = splat_ops.apply_warp_matrix(state.warp_mats[res], q_img)
+        q_warp = splat_ops.apply_warp_matrix(
+            state.warp_mats[res].astype(q_img.dtype), q_img
+        )
     else:
         q_warp = splat_ops.splat_image(
-            q_img, ms.t_coords, radius=state.splat_radius, tau=state.splat_tau,
-            z_beta=state.z_beta,
+            q_img.astype(jnp.float32), ms.t_coords, radius=state.splat_radius,
+            tau=state.splat_tau, z_beta=state.z_beta,
         )
     m = ms.mask_new_warped_2d[..., None]
-    out = q_img * (1.0 - m) + m * q_warp
+    out = q_img.astype(jnp.float32) * (1.0 - m) + m * q_warp.astype(jnp.float32)
     return sg(out.reshape(l, h, d).transpose(1, 0, 2).astype(q_base.dtype))
 
 

@@ -23,8 +23,10 @@ actual speed thesis of the TPU rebuild.
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import logging
 import time
+from collections import OrderedDict
 from typing import Dict, Optional
 
 import jax
@@ -38,6 +40,7 @@ from geodiffuser_tpu.core.pipeline import Pipeline
 from geodiffuser_tpu.ops import image as image_ops
 from geodiffuser_tpu.ops import splat as splat_ops
 from geodiffuser_tpu.ops import transform_field as tf_ops
+from geodiffuser_tpu.utils import exp_io
 
 log = logging.getLogger(__name__)
 
@@ -90,6 +93,64 @@ class EditSession:
                 masks, r, tau, cfg.splat.z_beta
             )
         )
+        # inversion-trajectory cache: all_latents is a pure function of
+        # (image, prompt, scheduler, model); re-editing the same image with
+        # different transform knobs (the UI workflow) re-inverts for nothing
+        # in the reference (editor.py:581-589).  In-memory LRU here; on-disk
+        # in the experiment folder (exp_io.save_inversion) when given.
+        self._inv_mem: "OrderedDict[str, jnp.ndarray]" = OrderedDict()
+        self._pipe_fp: Optional[str] = None
+
+    # -------------------------------------------------------- inversion cache
+    def _pipeline_fingerprint(self) -> str:
+        """Cheap stable fingerprint of (model config, schedule, weights probe).
+
+        The weights probe (a small slice of one UNet leaf) distinguishes
+        checkpoints loaded into the same architecture; it cannot distinguish
+        two checkpoints that agree on that slice — acceptable for a cache
+        whose worst failure is a stale trajectory for a hand-swapped leaf.
+        """
+        if self._pipe_fp is None:
+            h = hashlib.sha256()
+            h.update(repr(self.pipeline.config).encode())
+            h.update(str(self.pipeline.image_size).encode())
+            h.update(np.asarray(self.pipeline.schedule.alphas_cumprod[:8], np.float64).tobytes())
+            leaf = jax.tree_util.tree_leaves(self.pipeline.params["unet"])[0]
+            h.update(np.asarray(jnp.ravel(leaf)[:16], np.float32).tobytes())
+            self._pipe_fp = h.hexdigest()[:16]
+        return self._pipe_fp
+
+    def inversion_key(self, image_f: np.ndarray, prompt: str) -> str:
+        """Cache key for the DDIM inversion trajectory of (image, prompt)."""
+        cfg = self.cfg
+        h = hashlib.sha256()
+        h.update(self._pipeline_fingerprint().encode())
+        h.update(np.ascontiguousarray(image_f, np.float32).tobytes())
+        for part in (prompt, cfg.uncond_text, repr(cfg.guidance_scale),
+                     repr(cfg.num_ddim_steps)):
+            h.update(part.encode())
+            h.update(b"\x00")
+        return h.hexdigest()
+
+    def _inv_cache_get(self, key: str, exp_folder: Optional[str]):
+        if key in self._inv_mem:
+            self._inv_mem.move_to_end(key)
+            return self._inv_mem[key]
+        if exp_folder is not None:
+            cached = exp_io.load_inversion(exp_folder, key)
+            if cached is not None:
+                arr = jnp.asarray(cached)
+                self._inv_cache_put(key, arr, None)
+                return arr
+        return None
+
+    def _inv_cache_put(self, key: str, all_latents, exp_folder: Optional[str]):
+        self._inv_mem[key] = all_latents
+        self._inv_mem.move_to_end(key)
+        while len(self._inv_mem) > 4:
+            self._inv_mem.popitem(last=False)
+        if exp_folder is not None:
+            exp_io.save_inversion(exp_folder, key, np.asarray(all_latents))
 
     # ------------------------------------------------------------------ setup
     def _preprocess_impl(self, image, depth, image_mask, transform):
@@ -298,6 +359,7 @@ class EditSession:
         prompt: str = "",
         progress=None,
         use_null_text: bool | None = None,
+        exp_folder: Optional[str] = None,
     ) -> EditResult:
         cfg = self.cfg
         timings: Dict[str, float] = {}
@@ -324,13 +386,22 @@ class EditSession:
         timings["preprocess"] = time.time() - t_start
 
         # --- DDIM inversion (compiled scan; CFG with the edit guidance scale,
-        # inversion.py:174-187)
+        # inversion.py:174-187), memoized: the trajectory is deterministic in
+        # (image, prompt, scheduler, model), so re-edits of the same image
+        # (UI knob iteration, driver resume) skip it entirely
         t_inv = time.time()
-        invert_fn = self._invert_cfg_free if prompt == cfg.uncond_text else self._invert
-        all_latents, _ = invert_fn(
-            self.pipeline.params["unet"], latent0, ctx_uncond, ctx_cond
+        inv_key = self.inversion_key(image, prompt) if cfg.cache_inversion else None
+        all_latents = (
+            self._inv_cache_get(inv_key, exp_folder) if inv_key is not None else None
         )
-        _ = np.asarray(all_latents[0, 0, 0, 0, :1])  # axon: fetch forces sync
+        if all_latents is None:
+            invert_fn = self._invert_cfg_free if prompt == cfg.uncond_text else self._invert
+            all_latents, _ = invert_fn(
+                self.pipeline.params["unet"], latent0, ctx_uncond, ctx_cond
+            )
+            _ = np.asarray(all_latents[0, 0, 0, 0, :1])  # axon: fetch forces sync
+            if inv_key is not None:
+                self._inv_cache_put(inv_key, all_latents, exp_folder)
         timings["inversion"] = time.time() - t_inv
 
         # --- optional null-text optimization (perform_inversion,

@@ -107,6 +107,20 @@ class Pipeline:
 
         return self._jitted("vae_enc", enc)(self.params["vae"], jnp.asarray(image))
 
+    def encode_images(self, images: jnp.ndarray) -> jnp.ndarray:
+        """(E, H, W, 3) float in [0,1] -> (E, h, w, 4) scaled latents.
+
+        Batched variant of encode_image: one VAE dispatch for the whole edit
+        batch instead of E sequential programs (the sharded driver's encode
+        was the one O(E) host serialization left on its setup path)."""
+
+        def enc(p, imgs):
+            x = imgs.astype(jnp.float32) * 2.0 - 1.0
+            mean = self.vae.apply(p, x, method=self.vae.encode)
+            return mean * self.config.vae_scaling_factor
+
+        return self._jitted("vae_enc_batch", enc)(self.params["vae"], jnp.asarray(images))
+
     def decode_latents(self, latents: jnp.ndarray) -> np.ndarray:
         """(S, h, w, 4) scaled latents -> (S, H, W, 3) uint8 images.
 

@@ -42,14 +42,17 @@ class BatchEditResult:
     timings: Dict[str, float]
 
 
-def aot_compile_check(sess: "ShardedEditSession", n_edits: int) -> dict:
+def aot_compile_check(sess: "ShardedEditSession", n_edits: int,
+                      programs: Optional[tuple] = None) -> dict:
     """AOT .lower().compile() of the sharded step programs at FULL size.
 
     Validates the real 512^2 programs (grad-through-UNet optimize step, CFG
-    step, fused CFG tail) against the mesh without executing them — catches
-    shape/sharding bugs that tiny-shape dry runs miss (e.g. the dense
-    4096x4097 warp matrices under vmap).  Returns per-program compile
-    seconds.  ~3 min on a CPU host for the optimize program.
+    step, taps-CFG, fused CFG tail) against the mesh without executing them
+    — catches shape/sharding bugs that tiny-shape dry runs miss (e.g. the
+    dense 4096x4097 warp matrices under vmap).  Returns per-program compile
+    seconds (cached compiles return in <1s via the persistent cache).
+    `programs` restricts the set (e.g. ("optimize", "cfg") for the bounded
+    driver dry run).  ~3 min each cold on a CPU host.
     """
     import time as _time
 
@@ -83,30 +86,48 @@ def aot_compile_check(sess: "ShardedEditSession", n_edits: int) -> dict:
     f32, i32, b_ = jnp.float32, jnp.int32, jnp.bool_
     params = sess.pipeline.params["unet"]
     timers = {}
+    want = programs or ("optimize", "cfg", "cfg_taps", "cfg_tail")
 
-    t0 = _time.time()
-    sess._b_optimize.lower(
+    opt_args = (
         params, latents2, context4, i32(500), masks, i32(2), weights,
         f32(1.0), f32(1.0), f32(cfg.lr), sgd, wm,
-    ).compile()
-    timers["optimize"] = _time.time() - t0
+    )
+    if "optimize" in want:
+        t0 = _time.time()
+        sess._b_optimize.lower(*opt_args).compile()
+        timers["optimize"] = _time.time() - t0
 
-    t0 = _time.time()
-    sess._b_cfg.lower(
-        params, latents2, context4, i32(500), masks, i32(2), weights,
-        f32(1.0), f32(1.0), latents2[:, :1], b_(True), wm,
-    ).compile()
-    timers["cfg"] = _time.time() - t0
+    if "cfg" in want:
+        t0 = _time.time()
+        sess._b_cfg.lower(
+            params, latents2, context4, i32(500), masks, i32(2), weights,
+            f32(1.0), f32(1.0), latents2[:, :1], b_(True), wm,
+        ).compile()
+        timers["cfg"] = _time.time() - t0
 
-    k = 4
-    t0 = _time.time()
-    sess._b_cfg_tail.lower(
-        params, latents2, context4, masks,
-        jnp.zeros((k,), i32), jnp.arange(k, dtype=i32),
-        jnp.ones((k,), f32), jnp.ones((k,), f32),
-        jnp.zeros((e, k, 1, lat, lat, 4)), weights, wm,
-    ).compile()
-    timers["cfg_tail"] = _time.time() - t0
+    if "cfg_taps" in want:
+        # the taps-reuse CFG variant (the program hit on every optimize
+        # step): its taps argument's pytree structure comes from eval_shape
+        # of the optimize program (trace-only, no compile)
+        taps_shape = jax.eval_shape(sess._b_optimize, *opt_args)[4]
+        taps = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), taps_shape)
+        t0 = _time.time()
+        sess._b_cfg_taps.lower(
+            params, latents2, context4, i32(500), masks, i32(2), weights,
+            f32(1.0), f32(1.0), latents2[:, :1], b_(True), wm, taps,
+        ).compile()
+        timers["cfg_taps"] = _time.time() - t0
+
+    if "cfg_tail" in want:
+        k = 4
+        t0 = _time.time()
+        sess._b_cfg_tail.lower(
+            params, latents2, context4, masks,
+            jnp.zeros((k,), i32), jnp.arange(k, dtype=i32),
+            jnp.ones((k,), f32), jnp.ones((k,), f32),
+            jnp.zeros((e, k, 1, lat, lat, 4)), weights, wm,
+        ).compile()
+        timers["cfg_tail"] = _time.time() - t0
     return timers
 
 
@@ -174,6 +195,7 @@ class ShardedEditSession(EditSession):
         masks_in: np.ndarray,     # (E, H, W)
         transforms: np.ndarray,   # (E, 4, 4)
         prompts: Optional[List[str]] = None,
+        exp_folders: Optional[List[str]] = None,
     ) -> BatchEditResult:
         cfg = self.cfg
         e = images.shape[0]
@@ -181,9 +203,10 @@ class ShardedEditSession(EditSession):
         t_start = time.time()
         timings: Dict[str, float] = {}
 
-        imgs = jnp.asarray(images, jnp.float32)
+        images_f = np.asarray(images, np.float32)
         if images.dtype == np.uint8:
-            imgs = imgs / 255.0
+            images_f = images_f / 255.0
+        imgs = jnp.asarray(images_f)
         dep = jnp.asarray(depths, jnp.float32)
         msk = image_ops.binarize(jnp.asarray(masks_in, jnp.float32))
         tra = jnp.asarray(transforms, jnp.float32)
@@ -194,19 +217,31 @@ class ShardedEditSession(EditSession):
         tf, masks = self._b_preprocess(imgs, dep, msk, tra)
         # row-budget warning deferred to loop end (avoids a host sync here)
 
-        ctx_cond = put(jnp.stack([self.pipeline.encode_text([p])[0] for p in prompts]))
+        ctx_cond = put(self.pipeline.encode_text(prompts))
         ctx_uncond = put(jnp.tile(self.pipeline.encode_text([cfg.uncond_text]), (e, 1, 1)))
-        latent0 = put(jnp.concatenate(
-            [self.pipeline.encode_image(imgs[i]) for i in range(e)], axis=0
-        )[:, None])  # (E, 1, h, w, 4)
+        latent0 = put(self.pipeline.encode_images(imgs)[:, None])  # (E, 1, h, w, 4)
         timings["preprocess"] = time.time() - t_start
 
         t_inv = time.time()
-        all_latents, _ = self._b_invert(
-            self.pipeline.params["unet"], latent0,
-            ctx_uncond[:, None], ctx_cond[:, None],
-        )  # (E, T+1, 1, h, w, 4)
-        _ = np.asarray(all_latents[0, 0, 0, 0, :1])  # axon: fetch forces sync
+        all_latents = None
+        keys = None
+        if cfg.cache_inversion and exp_folders:
+            from geodiffuser_tpu.utils import exp_io
+
+            keys = [self.inversion_key(images_f[i], prompts[i]) for i in range(e)]
+            cached = [exp_io.load_inversion(f, k) for f, k in zip(exp_folders, keys)]
+            if all(c is not None for c in cached):
+                all_latents = put(jnp.asarray(np.stack(cached)))
+        if all_latents is None:
+            all_latents, _ = self._b_invert(
+                self.pipeline.params["unet"], latent0,
+                ctx_uncond[:, None], ctx_cond[:, None],
+            )  # (E, T+1, 1, h, w, 4)
+            _ = np.asarray(all_latents[0, 0, 0, 0, :1])  # axon: fetch forces sync
+            if keys is not None:
+                host = np.asarray(all_latents)
+                for i, f in enumerate(exp_folders):
+                    exp_io.save_inversion(f, keys[i], host[i])
         timings["inversion"] = time.time() - t_inv
 
         n = cfg.num_ddim_steps

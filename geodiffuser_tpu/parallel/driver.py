@@ -64,6 +64,27 @@ def config_for_edit_type(edit_type: str, num_ddim_steps: int = 50) -> EditConfig
     )
 
 
+def _experiment_loader(folders, use_native: Optional[bool]):
+    """Iterator of Experiments over `folders`, in order.
+
+    Default (use_native=None): the native C++ prefetcher (exp_loader.cpp) —
+    background threads decode experiment k+1 while the device crunches k —
+    falling back to the synchronous Python reader if the native library
+    can't build/load.  use_native=True forces native (raises on failure);
+    False forces the Python reader."""
+    if use_native is False:
+        return (exp_io.read_exp(f) for f in folders)
+    try:
+        from geodiffuser_tpu.native.loader import NativePrefetcher
+
+        return iter(NativePrefetcher(list(folders), threads=2))
+    except Exception as err:  # pragma: no cover - env-dependent
+        if use_native:
+            raise
+        log.info("native prefetcher unavailable (%s); using python reader", err)
+        return (exp_io.read_exp(f) for f in folders)
+
+
 def run_folder_sweep(
     exp_root: str,
     checkpoint_dir: Optional[str] = None,
@@ -74,12 +95,14 @@ def run_folder_sweep(
     limit: Optional[int] = None,
     pipe=None,
     config_overrides: Optional[Dict] = None,
+    use_native: Optional[bool] = None,
 ) -> Dict[str, float]:
     """Run every experiment under exp_root; returns {folder: seconds}.
 
     `pipe` injects a prebuilt Pipeline (tests use a tiny one);
     `config_overrides` are dataclasses.replace kwargs applied to every
-    per-type EditConfig (e.g. num_ddim_steps for smoke runs)."""
+    per-type EditConfig (e.g. num_ddim_steps for smoke runs);
+    `use_native` controls the experiment loader (see _experiment_loader)."""
     import dataclasses as _dc
 
     import jax.numpy as jnp
@@ -129,15 +152,18 @@ def run_folder_sweep(
         return sessions[edit_type]
 
     if group_size > 1:
-        # lockstep groups per edit type
+        # lockstep groups per edit type; the loader prefetches/decodes the
+        # next group's folders while the device executes the current one
         by_type: Dict[str, list] = {}
         for et, folder in todo:
             by_type.setdefault(et, []).append(folder)
+        ordered = [f for folders in by_type.values() for f in folders]
+        loader = _experiment_loader(ordered, use_native)
         for et, folders in by_type.items():
             sess = get_session(et)
             for i in range(0, len(folders), group_size):
                 chunk = folders[i : i + group_size]
-                exps = [exp_io.read_exp(f) for f in chunk]
+                exps = [next(loader) for _ in chunk]
                 # pad the group to a full shard count by repeating the last
                 pad = group_size - len(exps)
                 exps_p = exps + [exps[-1]] * pad
@@ -147,6 +173,7 @@ def run_folder_sweep(
                     np.stack([e.depth for e in exps_p]),
                     np.stack([e.input_mask for e in exps_p]),
                     np.stack([e.transform for e in exps_p]),
+                    exp_folders=[e.path for e in exps_p],
                 )
                 dt = time.time() - t0
                 for j, exp in enumerate(exps):
@@ -159,12 +186,13 @@ def run_folder_sweep(
                     times[exp.path] = dt / len(exps)
                 log.info("group of %d edits (%s): %.1fs", len(exps), et, dt)
     else:
-        for et, folder in todo:
+        loader = _experiment_loader([f for _, f in todo], use_native)
+        for (et, folder), exp in zip(todo, loader):
             sess = get_session(et)
-            exp = exp_io.read_exp(folder)
             t0 = time.time()
             res = sess.run(
-                exp.input_image, exp.depth, exp.input_mask, exp.transform
+                exp.input_image, exp.depth, exp.input_mask, exp.transform,
+                exp_folder=folder,
             )
             dt = time.time() - t0
             exp_io.save_results(exp, res.edited_image, res.loss_log)
@@ -183,6 +211,8 @@ def main():
                     help=">1 enables lockstep sharded execution over the mesh")
     ap.add_argument("--no-skip-existing", action="store_true")
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--no-native", action="store_true",
+                    help="force the synchronous Python experiment reader")
     args = ap.parse_args()
     logging.basicConfig(level=logging.INFO)
     times = run_folder_sweep(
@@ -193,6 +223,7 @@ def main():
         skip_existing=not args.no_skip_existing,
         group_size=args.group_size,
         limit=args.limit,
+        use_native=False if args.no_native else None,
     )
     print(json.dumps({"edits": len(times), "mean_sec": float(np.mean(list(times.values()) or [0]))}))
 

@@ -46,6 +46,18 @@ class UIState:
     depth_predictors: dict = dataclasses.field(default_factory=dict)  # per-model cache
     pipeline: object = None
     sessions: dict = dataclasses.field(default_factory=dict)
+    # per-browser-session scratch dir for the DDIM inversion cache: knob
+    # iteration that changes EditConfig creates a NEW EditSession (losing its
+    # in-memory cache), but the disk cache keeps the trajectory as long as
+    # (image, prompt, guidance, steps) are unchanged
+    cache_dir: Optional[str] = None
+
+    def inversion_cache_dir(self) -> str:
+        if self.cache_dir is None:
+            import tempfile
+
+            self.cache_dir = tempfile.mkdtemp(prefix="geodiffuser_ui_")
+        return self.cache_dir
 
 
 @dataclasses.dataclass
@@ -262,7 +274,8 @@ def get_edited_image(
         cfg = (adv or AdvancedOptions()).to_edit_config("geometry_editor")
     sess = _get_session(state, cfg)
     res = sess.run(state.image, state.depth, state.mask, state.transform,
-                   prompt=prompt, progress=progress)
+                   prompt=prompt, progress=progress,
+                   exp_folder=state.inversion_cache_dir())
     return res.edited_image
 
 
@@ -291,6 +304,7 @@ def inpaint_mask(
     res = sess.run(
         state.image, depth_utils.constant_depth(h, w), state.mask, np.eye(4),
         prompt=prompt, progress=progress,
+        exp_folder=state.inversion_cache_dir(),
     )
     return res.edited_image
 

@@ -124,6 +124,39 @@ def save_results(
         json.dump({str(k): v for k, v in loss_log.items()}, f, indent=1)
 
 
+INVERSION_CACHE_FILE = "inversion.npz"
+
+
+def load_inversion(folder: str, key: str):
+    """Return the cached DDIM inversion trajectory for `key`, or None.
+
+    `all_latents` is a pure function of (image, prompt, scheduler, model) —
+    the reference re-inverts on every edit of the same image
+    (editor.py:581-589, ~28% of each edit here); the experiment folder is
+    the natural cache for the iterate-on-transform-knobs workflow.  The file
+    holds exactly one entry; a key mismatch (different prompt/config/model)
+    reads as a miss and is overwritten by the next save.
+    """
+    path = os.path.join(folder, INVERSION_CACHE_FILE)
+    if not os.path.exists(path):
+        return None
+    try:
+        with np.load(path, allow_pickle=False) as z:
+            if str(z["key"]) != key:
+                return None
+            return z["all_latents"]
+    except Exception:
+        return None
+
+
+def save_inversion(folder: str, key: str, all_latents: np.ndarray) -> None:
+    if not os.path.isdir(folder):
+        return
+    tmp = os.path.join(folder, INVERSION_CACHE_FILE + ".tmp.npz")
+    np.savez(tmp, key=np.str_(key), all_latents=np.asarray(all_latents, np.float32))
+    os.replace(tmp, os.path.join(folder, INVERSION_CACHE_FILE))
+
+
 def list_experiments(root: str):
     """Yield (category, folder) pairs under an experiment root
     (the sweep structure of large_scale_editor.py:366-399)."""

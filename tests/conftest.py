@@ -18,3 +18,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the big grad-through-UNet programs cost
+# minutes of XLA-CPU compile; caching them makes test reruns (and the
+# driver's full-size AOT dry run, which compiles the same programs) cheap.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)

@@ -8,7 +8,7 @@ from geodiffuser_tpu.ops import camera
 
 import pytest
 
-pytestmark = pytest.mark.fast
+pytestmark = [pytest.mark.fast, pytest.mark.smoke]
 
 
 def test_pixel2cam_roundtrip():

@@ -111,6 +111,54 @@ def test_stitch_end_to_end(pipe, scene):
     assert np.isfinite(res.edited_image).all()
 
 
+def test_inversion_cache_roundtrip(pipe, scene, tmp_path):
+    """Second edit of the same (image, prompt) must skip inversion (memory +
+    disk caches) and produce a fingerprint-identical result; a different
+    prompt or config must miss (VERDICT r2 next-#2)."""
+    image, depth, mask = scene
+    cfg = EditConfig(num_ddim_steps=3, optimize_steps=0.65, skip_optim_steps=2)
+    sess = EditSession(pipe, cfg)
+    t = camera.compose_transform(tx=0.05)
+    folder = str(tmp_path)
+
+    res1 = sess.run(image, depth, mask, t, prompt="a thing", exp_folder=folder)
+    import os
+
+    from geodiffuser_tpu.utils import exp_io
+
+    assert os.path.exists(os.path.join(folder, exp_io.INVERSION_CACHE_FILE))
+
+    # in-memory hit: identical result, inversion time collapses
+    res2 = sess.run(image, depth, mask, t, prompt="a thing", exp_folder=folder)
+    np.testing.assert_array_equal(res1.edited_image, res2.edited_image)
+    np.testing.assert_array_equal(res1.images, res2.images)
+
+    # disk hit with a cold memory cache (same compiled session): identical
+    sess._inv_mem.clear()
+    res3 = sess.run(image, depth, mask, t, prompt="a thing", exp_folder=folder)
+    np.testing.assert_array_equal(res1.edited_image, res3.edited_image)
+
+    # key discriminates prompt / guidance: neither may reuse the file
+    key_a = sess.inversion_key(image, "a thing")
+    key_b = sess.inversion_key(image, "other")
+    assert key_a != key_b
+    assert exp_io.load_inversion(folder, key_b) is None
+    sess_g = EditSession(pipe, EditConfig(num_ddim_steps=3, guidance_scale=9.0))
+    assert sess_g.inversion_key(image, "a thing") != key_a  # key only; no run
+
+    # cache_inversion=False bypasses everything (no file written).  Only the
+    # runtime flag differs, so the already-compiled programs are reused.
+    import dataclasses
+    import shutil
+
+    shutil.rmtree(folder)
+    os.makedirs(folder)
+    sess._inv_mem.clear()
+    sess.cfg = dataclasses.replace(cfg, cache_inversion=False)
+    sess.run(image, depth, mask, t, prompt="a thing", exp_folder=folder)
+    assert not os.path.exists(os.path.join(folder, exp_io.INVERSION_CACHE_FILE))
+
+
 def test_taps_split_grad_matches_joint(pipe, scene):
     """The 1-stream differentiated edit pass over recorded base taps must
     reproduce the joint 2-stream grad exactly (the base stream is

@@ -9,7 +9,7 @@ from geodiffuser_tpu.core import scheduler
 
 import pytest
 
-pytestmark = pytest.mark.fast
+pytestmark = [pytest.mark.fast, pytest.mark.smoke]
 
 
 def _ref_alphas():

@@ -9,7 +9,7 @@ from geodiffuser_tpu.ops import image as image_ops
 
 import pytest
 
-pytestmark = pytest.mark.fast
+pytestmark = [pytest.mark.fast, pytest.mark.smoke]
 
 
 def test_identity_splat_preserves_image():
