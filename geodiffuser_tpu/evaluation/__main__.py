@@ -170,6 +170,9 @@ def main(argv=None) -> int:
                     help="directory with LPIPS/CLIP (and SD, for md) weights")
     ap.add_argument("--output", default=None, help="write the summary as JSON")
     ap.add_argument("--max_points", type=int, default=50, help="md keypoint budget")
+    ap.add_argument("--sd_version", choices=["2.1", "1.x"], default="2.1",
+                    help="DIFT featurizer model for --metric md (the "
+                         "reference uses SD-2.1, evaluation/dift_sd.py:16)")
     args = ap.parse_args(argv)
 
     if args.path_1 and args.path_2:
@@ -221,11 +224,10 @@ def main(argv=None) -> int:
     elif args.exp_root:
         featurizer = None
         if args.metric == "md" and args.weights_dir:
-            from geodiffuser_tpu.core.pipeline import Pipeline
-            from geodiffuser_tpu.evaluation.dift import SDFeaturizer
+            from geodiffuser_tpu.evaluation.dift import build_featurizer
 
-            featurizer = SDFeaturizer(
-                Pipeline.create(checkpoint_dir=args.weights_dir)
+            featurizer = build_featurizer(
+                weights_dir=args.weights_dir, sd_version=args.sd_version
             )
         elif args.metric == "md":
             print("[INFO] no --weights_dir: md (DIFT) unavailable, reporting "

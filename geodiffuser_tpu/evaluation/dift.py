@@ -68,6 +68,30 @@ def harris_keypoints(
     return np.asarray(pts, np.float64).reshape(-1, 2)
 
 
+def build_featurizer(
+    weights_dir: Optional[str] = None,
+    sd_version: str = "2.1",
+    image_size: int = 512,
+    t: int = 261,
+    up_block: int = 1,
+    ensemble: int = 8,
+) -> "SDFeaturizer":
+    """Featurizer factory matching the reference MD metric's configuration.
+
+    The reference extracts DIFT features from **SD-2.1**
+    (`SDFeaturizer('stabilityai/stable-diffusion-2-1')`, dift_sd.py:16;
+    t=261, up_ft_index=1, ensemble 8, image_fidelity.py:150-166), so
+    sd_version defaults to "2.1" (ModelConfig.sd21(): 64-dim per-block
+    heads, linear transformer projections, 1024-wide OpenCLIP text tower);
+    "1.x" selects the edit pipeline's SD-1.4 geometry.
+    """
+    from geodiffuser_tpu.config import ModelConfig
+
+    cfg = ModelConfig.sd21() if sd_version.startswith("2") else ModelConfig()
+    pipe = Pipeline.create(cfg, image_size=image_size, checkpoint_dir=weights_dir)
+    return SDFeaturizer(pipe, t=t, up_block=up_block, ensemble=ensemble)
+
+
 class SDFeaturizer:
     """Diffusion features from one noised UNet pass (dift_sd.py semantics:
     t=261, up_ft_index=1, ensemble of 8 noise draws)."""

@@ -153,8 +153,9 @@ class BasicTransformerBlock(nn.Module):
 
 
 class Transformer2DModel(nn.Module):
-    """GN -> 1x1 conv in -> transformer blocks -> 1x1 conv out + residual
-    (diffusers Transformer2DModel, SD-1.x conv projections)."""
+    """GN -> proj in -> transformer blocks -> proj out + residual
+    (diffusers Transformer2DModel).  SD-1.x uses 1x1 conv projections;
+    SD-2.x (use_linear_projection) reshapes first and uses Dense."""
 
     in_channels: int
     heads: int
@@ -162,6 +163,7 @@ class Transformer2DModel(nn.Module):
     num_layers: int = 1
     groups: int = 32
     remat: bool = False
+    use_linear_projection: bool = False
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -171,8 +173,12 @@ class Transformer2DModel(nn.Module):
         b, h, w, c = x.shape
         residual = x
         y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, name="norm", **kw)(x)
-        y = nn.Conv(self.in_channels, (1, 1), name="proj_in", **kw)(y)
-        y = y.reshape(b, h * w, self.in_channels)
+        if self.use_linear_projection:
+            y = y.reshape(b, h * w, c)
+            y = nn.Dense(self.in_channels, name="proj_in", **kw)(y)
+        else:
+            y = nn.Conv(self.in_channels, (1, 1), name="proj_in", **kw)(y)
+            y = y.reshape(b, h * w, self.in_channels)
         # jax.checkpoint on the block: the optimize pass differentiates
         # through the full UNet; recomputing attention in the backward pass
         # trades FLOPs for the HBM that 64^2 attention maps would pin.
@@ -190,6 +196,10 @@ class Transformer2DModel(nn.Module):
                 self.in_channels, self.heads, self.cross_attention_dim,
                 name=f"transformer_blocks_{i}", **kw,
             )(y, context, edit)
-        y = y.reshape(b, h, w, self.in_channels)
-        y = nn.Conv(self.in_channels, (1, 1), name="proj_out", **kw)(y)
+        if self.use_linear_projection:
+            y = nn.Dense(self.in_channels, name="proj_out", **kw)(y)
+            y = y.reshape(b, h, w, self.in_channels)
+        else:
+            y = y.reshape(b, h, w, self.in_channels)
+            y = nn.Conv(self.in_channels, (1, 1), name="proj_out", **kw)(y)
         return y + residual

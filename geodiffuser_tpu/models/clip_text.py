@@ -48,6 +48,7 @@ class CLIPAttention(nn.Module):
 class CLIPEncoderLayer(nn.Module):
     hidden: int
     heads: int
+    hidden_act: str = "quick_gelu"   # SD-2.x OpenCLIP towers use "gelu"
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -58,7 +59,7 @@ class CLIPEncoderLayer(nn.Module):
         x = x + CLIPAttention(self.hidden, self.heads, name="self_attn", **kw)(h, mask)
         h = nn.LayerNorm(epsilon=1e-5, name="layer_norm2", **kw)(x)
         h = nn.Dense(self.hidden * 4, name="mlp_fc1", **kw)(h)
-        h = quick_gelu(h)
+        h = quick_gelu(h) if self.hidden_act == "quick_gelu" else nn.gelu(h, approximate=False)
         h = nn.Dense(self.hidden, name="mlp_fc2", **kw)(h)
         return x + h
 
@@ -86,7 +87,8 @@ class CLIPTextEncoder(nn.Module):
         causal = jnp.triu(jnp.full((l, l), -jnp.inf, jnp.float32), k=1)
         for i in range(cfg.text_layers):
             x = CLIPEncoderLayer(
-                cfg.text_hidden_size, cfg.text_heads, name=f"layers_{i}", **kw
+                cfg.text_hidden_size, cfg.text_heads,
+                hidden_act=cfg.text_hidden_act, name=f"layers_{i}", **kw
             )(x, causal)
         x = nn.LayerNorm(epsilon=1e-5, name="final_layer_norm", **kw)(x)
         return x.astype(jnp.float32)

@@ -8,9 +8,12 @@ readout (concat cls -> linear+gelu), reassemble to four scales, RefineNet
 fusion, monocular depth head.
 
 Reuses the RefineNet fusion blocks from models/depth_anything.py (the DPT
-family shares them).  `dpt_hybrid` (ResNet50 stem) and the vendored
-midas_v21 are not implemented — the pipeline's defaults are Depth-Anything
-and constant depth; DPT-Large covers the remaining ViT path.
+family shares them).  All five reference model_types are covered in this
+module: `dpt_large` (ViT-L/16, `DPTLarge`), `dpt_hybrid` (+`_kitti`/`_nyu`
+metric variants; ResNetV2-50 StdConv/GN pre-act stem + ViT-B/16,
+`DPTHybrid`) and `midas_v21` (ResNeXt101 32x8d, frozen BN, `MidasNetV21`),
+each with a checkpoint converter (`convert_dpt_large` / `convert_dpt_hybrid`
+/ `convert_midas_v21`).
 
 Note: the vendored reference implementation requires timm (not present in
 this build image), so unlike SAM/Depth-Anything no runtime parity oracle is
@@ -488,6 +491,11 @@ def _convert_scratch(state, out, n_taps=4, out_conv=True):
     for k in range(1, 5):
         ref = {}
         for unit in (1, 2):
+            if k == 4 and unit == 1:
+                # torch constructs refinenet4.resConfUnit1 but never calls it
+                # (refinenet4 gets a single input); real checkpoints carry
+                # the params, our module doesn't materialize them
+                continue
             pt = f"scratch.refinenet{k}.resConfUnit{unit}"
             if f"{pt}.conv1.weight" not in state:
                 continue
@@ -523,6 +531,53 @@ def _convert_vit_block(state, prefix):
         "mlp_fc2": {"kernel": _t_dense(state[prefix + ".mlp.fc2.weight"]),
                     "bias": jnp.asarray(state[prefix + ".mlp.fc2.bias"])},
     }
+
+
+def convert_dpt_large(state, cfg: DPTConfig = DPTConfig()) -> dict:
+    """DPTDepthModel(backbone='vitl16_384') state_dict (the released
+    dpt_large-midas checkpoint, dpt/vit.py:515 + models.py) -> DPTLarge
+    params.
+
+    Unconsumed-on-purpose: `pretrained.model.norm.*` / `.head.*` (the timm
+    ViT's final norm + classifier — DPT taps block outputs via hooks and
+    never runs them, dpt/vit.py:68-117) and `scratch.refinenet4.resConfUnit1.*`
+    (constructed but never called: refinenet4 gets a single input)."""
+    pm = "pretrained.model"
+    out = {
+        "patch_embed_proj": {
+            "kernel": _t_conv(state[f"{pm}.patch_embed.proj.weight"]),
+            "bias": jnp.asarray(state[f"{pm}.patch_embed.proj.bias"]),
+        },
+        "cls_token": jnp.asarray(state[f"{pm}.cls_token"]),
+        "pos_embed": jnp.asarray(state[f"{pm}.pos_embed"]),
+    }
+    for i in range(cfg.depth):
+        out[f"blocks_{i}"] = _convert_vit_block(state, f"{pm}.blocks.{i}")
+    for tap in range(4):
+        post = f"pretrained.act_postprocess{tap + 1}"
+        out[f"readout_{tap}"] = {
+            "kernel": _t_dense(state[f"{post}.0.project.0.weight"]),
+            "bias": jnp.asarray(state[f"{post}.0.project.0.bias"]),
+        }
+        out[f"projects_{tap}"] = {
+            "kernel": _t_conv(state[f"{post}.3.weight"]),
+            "bias": jnp.asarray(state[f"{post}.3.bias"]),
+        }
+    for tap in (0, 1):
+        # torch ConvTranspose2d (in, out, kh, kw) -> flax
+        # ConvTranspose(transpose_kernel=True) (kh, kw, out, in)
+        out[f"resize_layers_{tap}"] = {
+            "kernel": jnp.asarray(
+                state[f"pretrained.act_postprocess{tap + 1}.4.weight"]
+            ).transpose(2, 3, 1, 0),
+            "bias": jnp.asarray(state[f"pretrained.act_postprocess{tap + 1}.4.bias"]),
+        }
+    out["resize_layers_3"] = {
+        "kernel": _t_conv(state["pretrained.act_postprocess4.4.weight"]),
+        "bias": jnp.asarray(state["pretrained.act_postprocess4.4.bias"]),
+    }
+    _convert_scratch(state, out)
+    return {"params": out}
 
 
 def convert_dpt_hybrid(state, cfg: DPTHybridConfig = DPTHybridConfig()) -> dict:

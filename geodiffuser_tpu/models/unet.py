@@ -61,14 +61,15 @@ class UNet2DCondition(nn.Module):
 
         x = nn.Conv(chans[0], (3, 3), padding=1, name="conv_in", **kw)(sample.astype(cfg.dtype))
 
-        def attn_block(ch: int, name: str):
+        def attn_block(ch: int, name: str, block_idx: int):
             return Transformer2DModel(
                 in_channels=ch,
-                heads=cfg.num_attention_heads,
+                heads=cfg.heads_for_block(block_idx),
                 cross_attention_dim=cfg.cross_attention_dim,
                 num_layers=cfg.transformer_layers_per_block,
                 groups=groups,
                 remat=cfg.remat,
+                use_linear_projection=cfg.use_linear_projection,
                 name=name,
                 **kw,
             )
@@ -80,7 +81,7 @@ class UNet2DCondition(nn.Module):
             for j in range(cfg.layers_per_block):
                 x = ResnetBlock2D(ch, groups=groups, name=f"down_blocks_{i}_resnets_{j}", **kw)(x, temb)
                 if has_attn:
-                    x = attn_block(ch, f"down_blocks_{i}_attentions_{j}")(x, context, edit)
+                    x = attn_block(ch, f"down_blocks_{i}_attentions_{j}", i)(x, context, edit)
                 skips.append(x)
             if i < n_blocks - 1:
                 x = Downsample2D(ch, name=f"down_blocks_{i}_downsamplers_0", **kw)(x)
@@ -88,7 +89,7 @@ class UNet2DCondition(nn.Module):
 
         # --- mid
         x = ResnetBlock2D(chans[-1], groups=groups, name="mid_block_resnets_0", **kw)(x, temb)
-        x = attn_block(chans[-1], "mid_block_attentions_0")(x, context, edit)
+        x = attn_block(chans[-1], "mid_block_attentions_0", n_blocks - 1)(x, context, edit)
         x = ResnetBlock2D(chans[-1], groups=groups, name="mid_block_resnets_1", **kw)(x, temb)
 
         # --- up path
@@ -100,7 +101,7 @@ class UNet2DCondition(nn.Module):
                 x = jnp.concatenate([x, skip], axis=-1)
                 x = ResnetBlock2D(ch, groups=groups, name=f"up_blocks_{i}_resnets_{j}", **kw)(x, temb)
                 if has_attn:
-                    x = attn_block(ch, f"up_blocks_{i}_attentions_{j}")(x, context, edit)
+                    x = attn_block(ch, f"up_blocks_{i}_attentions_{j}", n_blocks - 1 - i)(x, context, edit)
             # Feature tap per up block (no-op unless applied with
             # mutable=['features']) — backs DIFT-style semantic features for
             # the MD metric (reference: evaluation/dift_sd.py exposes

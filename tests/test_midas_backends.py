@@ -200,6 +200,66 @@ def _add_scratch(sd, p, out_conv):
         sd[f"scratch.output_conv.{idx}.bias"] = np.asarray(p[name]["bias"])
 
 
+def test_convert_dpt_large_roundtrip():
+    """convert_dpt_large: init -> invert to the released checkpoint layout
+    (incl. the unconsumed norm/head/refinenet4.resConfUnit1 extras) ->
+    convert back -> identical tree + finite forward."""
+    cfg = md.DPTConfig.tiny()
+    model = md.DPTLarge(cfg)
+    x = jnp.asarray(np.random.RandomState(5).rand(1, 32, 32, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(3), x)
+    p = params["params"]
+    sd = {}
+    c4 = lambda a: np.asarray(a).transpose(3, 2, 0, 1)
+    pm = "pretrained.model"
+    sd[f"{pm}.patch_embed.proj.weight"] = c4(p["patch_embed_proj"]["kernel"])
+    sd[f"{pm}.patch_embed.proj.bias"] = np.asarray(p["patch_embed_proj"]["bias"])
+    sd[f"{pm}.cls_token"] = np.asarray(p["cls_token"])
+    sd[f"{pm}.pos_embed"] = np.asarray(p["pos_embed"])
+    for i in range(cfg.depth):
+        blk = p[f"blocks_{i}"]
+        pt = f"{pm}.blocks.{i}"
+        for nrm in ("norm1", "norm2"):
+            sd[f"{pt}.{nrm}.weight"] = np.asarray(blk[nrm]["scale"])
+            sd[f"{pt}.{nrm}.bias"] = np.asarray(blk[nrm]["bias"])
+        for ours_k, theirs in (("attn_qkv", "attn.qkv"), ("attn_proj", "attn.proj"),
+                               ("mlp_fc1", "mlp.fc1"), ("mlp_fc2", "mlp.fc2")):
+            sd[f"{pt}.{theirs}.weight"] = np.asarray(blk[ours_k]["kernel"]).T
+            sd[f"{pt}.{theirs}.bias"] = np.asarray(blk[ours_k]["bias"])
+    for tap in range(4):
+        post = f"pretrained.act_postprocess{tap + 1}"
+        sd[f"{post}.0.project.0.weight"] = np.asarray(p[f"readout_{tap}"]["kernel"]).T
+        sd[f"{post}.0.project.0.bias"] = np.asarray(p[f"readout_{tap}"]["bias"])
+        sd[f"{post}.3.weight"] = c4(p[f"projects_{tap}"]["kernel"])
+        sd[f"{post}.3.bias"] = np.asarray(p[f"projects_{tap}"]["bias"])
+    for tap in (0, 1):
+        sd[f"pretrained.act_postprocess{tap + 1}.4.weight"] = np.asarray(
+            p[f"resize_layers_{tap}"]["kernel"]).transpose(3, 2, 0, 1)
+        sd[f"pretrained.act_postprocess{tap + 1}.4.bias"] = np.asarray(
+            p[f"resize_layers_{tap}"]["bias"])
+    sd["pretrained.act_postprocess4.4.weight"] = c4(p["resize_layers_3"]["kernel"])
+    sd["pretrained.act_postprocess4.4.bias"] = np.asarray(p["resize_layers_3"]["bias"])
+    _add_scratch(sd, p, out_conv=True)
+    # released-checkpoint extras the converter must tolerate
+    d = cfg.embed_dim
+    sd[f"{pm}.norm.weight"] = np.ones(d, np.float32)
+    sd[f"{pm}.norm.bias"] = np.zeros(d, np.float32)
+    sd[f"{pm}.head.weight"] = np.zeros((1000, d), np.float32)
+    sd[f"{pm}.head.bias"] = np.zeros(1000, np.float32)
+    f = cfg.features
+    for k4 in ("conv1", "conv2"):
+        sd[f"scratch.refinenet4.resConfUnit1.{k4}.weight"] = np.zeros((f, f, 3, 3), np.float32)
+        sd[f"scratch.refinenet4.resConfUnit1.{k4}.bias"] = np.zeros(f, np.float32)
+
+    conv = md.convert_dpt_large(sd, cfg)
+    ours, theirs = _flatten(params["params"]), _flatten(conv["params"])
+    assert set(ours) == set(theirs)
+    for k in ours:
+        np.testing.assert_allclose(ours[k], theirs[k], atol=1e-6, err_msg=k)
+    out = model.apply(conv, x)
+    assert bool(jnp.isfinite(out).all())
+
+
 def test_convert_dpt_hybrid_roundtrip():
     cfg = md.DPTHybridConfig.tiny()
     model = md.DPTHybrid(cfg)

@@ -51,6 +51,42 @@ def test_unet_sd15_param_count():
     assert n == 859_520_964, n
 
 
+def test_unet_sd21_geometry():
+    """SD-2.x support (per-block head counts + linear transformer
+    projections, VERDICT r2 next-#5): a tiny SD-2.1-style UNet runs and its
+    projection params are Dense (2-D kernels); the full ModelConfig.sd21()
+    geometry matches the published SD-2.1 UNet parameter count exactly."""
+    tiny = ModelConfig.tiny_sd21()
+    unet = UNet2DCondition(tiny)
+    sample = jnp.zeros((1, 32, 32, 4))
+    ctx = jnp.zeros((1, 77, tiny.cross_attention_dim))
+    params = unet.init(jax.random.PRNGKey(0), sample, jnp.int32(1), ctx)
+    out = unet.apply(params, sample, jnp.int32(1), ctx)
+    assert out.shape == (1, 32, 32, 4)
+    assert bool(jnp.isfinite(out).all())
+    proj = params["params"]["down_blocks_0_attentions_0"]["proj_in"]["kernel"]
+    assert proj.ndim == 2  # Dense, not 1x1 conv
+
+    full = ModelConfig.sd21()
+    m = UNet2DCondition(full)
+    shapes = jax.eval_shape(
+        lambda: m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
+                       jnp.int32(1), jnp.zeros((1, 77, 1024)))
+    )
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(shapes))
+    assert n == 865_910_724, n
+
+    # SD-2.1 text tower: 23-layer (penultimate) OpenCLIP ViT-H, 1024-wide
+    from geodiffuser_tpu.models.clip_text import CLIPTextEncoder
+
+    te = CLIPTextEncoder(full)
+    tshapes = jax.eval_shape(
+        lambda: te.init(jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32))
+    )
+    tn = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(tshapes))
+    assert tn == 340_387_840, tn
+
+
 def test_vae_shapes(cfg):
     vae = AutoencoderKL(cfg)
     img = jnp.zeros((1, 64, 64, 3))
