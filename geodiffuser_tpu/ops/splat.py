@@ -49,10 +49,18 @@ def _corner_data(
         radius, tau: traced scalars (annealed per step; editor.py:154-156).
         footprint: static neighborhood width (2 => bilinear-size 2x2).
     Returns:
-        idx: (N*F*F,) flat target indices (H*W = dump slot for out-of-bounds)
-        alpha: (N*F*F,) spatial weights
-        z: (N*F*F,) depths
+        idx: (F*F*N,) flat target indices (H*W = dump slot for out-of-bounds)
+        alpha: (F*F*N,) spatial weights
+        z: (F*F*N,) depths
+
+    Layout note: everything is CORNER-MAJOR — entry k*N + p is corner k of
+    point p.  The million-point axis must sit on the TPU 128-lane dimension:
+    point-major (N, F, F) intermediates tile the trailing size-2 dims onto
+    the lane axis, padding them 64x (8 GB of s32 at 512^2 with a 2x-densified
+    field — the round-3 batched-preprocess OOM).  Consumers pair these with
+    jnp.tile (NOT jnp.repeat) of per-point data.
     """
+    n = coords.shape[0]
     x = (coords[:, 0] + 1.0) * 0.5 * (width - 1)
     y = (coords[:, 1] + 1.0) * 0.5 * (height - 1)
     z = coords[:, 2]
@@ -60,11 +68,13 @@ def _corner_data(
     base_x = jnp.floor(x).astype(jnp.int32)
     base_y = jnp.floor(y).astype(jnp.int32)
     offs = jnp.arange(footprint, dtype=jnp.int32) - (footprint - 1) // 2
-    # (N, F, F)
-    cx = base_x[:, None, None] + offs[None, :, None]
-    cy = base_y[:, None, None] + offs[None, None, :]
-    dx = cx.astype(jnp.float32) - x[:, None, None]
-    dy = cy.astype(jnp.float32) - y[:, None, None]
+    # (F*F, N): corner offsets on the (tiny) sublane axis, points on lanes
+    ox = jnp.repeat(offs, footprint)
+    oy = jnp.tile(offs, footprint)
+    cx = base_x[None, :] + ox[:, None]
+    cy = base_y[None, :] + oy[:, None]
+    dx = cx.astype(jnp.float32) - x[None, :]
+    dy = cy.astype(jnp.float32) - y[None, :]
     d2 = dx * dx + dy * dy
 
     r2 = jnp.maximum(radius * radius, 1e-8)
@@ -78,12 +88,10 @@ def _corner_data(
     in_bounds = (cx >= 0) & (cx < width) & (cy >= 0) & (cy < height)
     valid = in_bounds & (a > 1e-6)
     flat_idx = jnp.where(valid, cy * width + cx, height * width)
-    n = coords.shape[0]
-    full = (n, footprint, footprint)
-    zc = jnp.broadcast_to(z[:, None, None], full)
+    zc = jnp.broadcast_to(z[None, :], (footprint * footprint, n))
     return (
-        jnp.broadcast_to(flat_idx, full).reshape(-1),
-        jnp.broadcast_to(jnp.where(valid, a, 0.0), full).reshape(-1),
+        flat_idx.reshape(-1),
+        jnp.where(valid, a, 0.0).reshape(-1),
         zc.reshape(-1),
     )
 
@@ -120,7 +128,8 @@ def splat_image(
     # the alpha-over coverage term ride ONE scatter (TPU scatters are the
     # dominant cost here; three separate .at[].add were ~3x slower)
     wgt = alpha * jnp.exp(-z_beta * jnp.maximum(z - zref, 0.0))
-    feats = jnp.repeat(src.reshape(n, c).astype(jnp.float32), footprint * footprint, axis=0)
+    # corner-major pairing with _corner_data: tile, not repeat
+    feats = jnp.tile(src.reshape(n, c).astype(jnp.float32), (footprint * footprint, 1))
     stacked = jnp.concatenate(
         [
             wgt[:, None] * feats,
@@ -228,7 +237,7 @@ def densified_mask_splat(
     idx, alpha, _z = _corner_data(
         coords_up.reshape(n, 3).astype(jnp.float32), h, w, radius, tau, 2
     )
-    m_rep = jnp.repeat(mask_up.reshape(n), 4, axis=0)
+    m_rep = jnp.tile(mask_up.reshape(n), 4)  # corner-major (_corner_data)
     stacked = jnp.stack(
         [
             alpha * m_rep,
@@ -277,7 +286,8 @@ def warp_matrix(
     zref = jnp.where(jnp.isfinite(zref), zref, 0.0)
     wgt = alpha * jnp.exp(-z_beta * jnp.maximum(z - zref, 0.0))
 
-    src_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), footprint * footprint)
+    # corner-major pairing with _corner_data: tile, not repeat
+    src_idx = jnp.tile(jnp.arange(n, dtype=jnp.int32), footprint * footprint)
     mat = jnp.zeros((oh * ow + 1, n), jnp.float32).at[idx, src_idx].add(wgt)
     den = mat.sum(axis=1, keepdims=True)
     log_miss = jnp.zeros((oh * ow + 1,), jnp.float32).at[idx].add(

@@ -188,6 +188,28 @@ class ShardedEditSession(EditSession):
             pipeline, params=jax.tree.map(lambda x: jax.device_put(x, rep), pipeline.params)
         )
 
+    def preprocess_batch(self, imgs, dep, msk, tra):
+        """Batched transform-field + mask preprocessing, chunked to one edit
+        per device: the splat scatter carries multi-GB padded index buffers
+        PER EDIT at 512^2, so a per-device preprocess batch > 1 OOMs HBM when
+        packing E > dp edits per chip.  The step programs are lean (latents +
+        warp matrices) and run the full E at once."""
+        e = imgs.shape[0]
+        dp = self.mesh.shape["dp"]
+        put = lambda x: jax.tree.map(
+            lambda a: jax.device_put(a, self._edit_ax), x
+        )
+        if e > dp and e % dp == 0:
+            chunks = [
+                self._b_preprocess(imgs[s:s + dp], dep[s:s + dp],
+                                   msk[s:s + dp], tra[s:s + dp])
+                for s in range(0, e, dp)
+            ]
+            return put(jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *chunks
+            ))
+        return self._b_preprocess(imgs, dep, msk, tra)
+
     def run_batch(
         self,
         images: np.ndarray,       # (E, H, W, 3)
@@ -214,7 +236,7 @@ class ShardedEditSession(EditSession):
         put = lambda x: jax.tree.map(lambda a: jax.device_put(a, self._edit_ax), x)
         imgs, dep, msk, tra = put(imgs), put(dep), put(msk), put(tra)
 
-        tf, masks = self._b_preprocess(imgs, dep, msk, tra)
+        tf, masks = self.preprocess_batch(imgs, dep, msk, tra)
         # row-budget warning deferred to loop end (avoids a host sync here)
 
         ctx_cond = put(self.pipeline.encode_text(prompts))

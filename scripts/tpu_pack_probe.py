@@ -80,7 +80,7 @@ def main():
              for i in range(e)]
         )
         img = jnp.asarray(images, jnp.float32)
-        tf, masks = sess._b_preprocess(
+        tf, masks = sess.preprocess_batch(
             img, jnp.asarray(depths), jnp.asarray(masks_in),
             jnp.asarray(transforms, jnp.float32),
         )

@@ -1,0 +1,139 @@
+"""End-to-end test of the dependency-free web UI (ui/serve.py).
+
+This executes the UI for real — HTTP server, JSON API, PNG round trips —
+closing the runtime-evidence gap on the reference's gradio surface
+(geo_diff_ui.py:62-1272) without gradio: a browser-shaped client drives
+upload -> mask -> depth -> transform preview -> edit -> save -> load ->
+inpaint against a live server on a tiny pipeline.
+"""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from geodiffuser_tpu.config import ModelConfig
+from geodiffuser_tpu.core.pipeline import Pipeline
+from geodiffuser_tpu.ui import serve
+
+pytestmark = pytest.mark.fast
+
+SIZE = 128
+
+
+@pytest.fixture(scope="module")
+def server():
+    pipe = Pipeline.create(ModelConfig.tiny(), image_size=SIZE)
+    srv = serve.make_server(pipe, port=0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _png(arr) -> str:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.asarray(arr, np.uint8)).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _unpng(b64) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(base64.b64decode(b64))))
+
+
+def _post(base, name, body, expect_error=False):
+    req = urllib.request.Request(
+        f"{base}/api/{name}", data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        out = json.loads(e.read())
+        assert expect_error, f"{name} failed: {out}"
+        return out
+    assert not expect_error
+    assert "error" not in out, out
+    return out
+
+
+def _scene():
+    rng = np.random.RandomState(0)
+    image = (rng.rand(SIZE, SIZE, 3) * 255).astype(np.uint8)
+    yy, xx = np.mgrid[0:SIZE, 0:SIZE]
+    mask = (((xx - 50) ** 2 + (yy - 70) ** 2) < 25 ** 2).astype(np.uint8) * 255
+    return image, mask
+
+
+def test_ui_server_full_flow(server, tmp_path):
+    image, mask = _scene()
+
+    # page + state
+    with urllib.request.urlopen(server + "/") as r:
+        page = r.read().decode()
+    assert "Editing Real Image" in page and "Inpainting" in page
+    with urllib.request.urlopen(server + "/api/state") as r:
+        state = json.loads(r.read())
+    assert state["image"] is False and "constant" in state["depth_models"]
+
+    # upload -> mask -> depth -> preview (uploads resize to the pipeline's
+    # working size; masks of any resolution are nearest-resized to match)
+    out = _post(server, "load_image", {"image": _png(image)})
+    assert _unpng(out["image"]).shape == (SIZE, SIZE, 3)
+    out = _post(server, "set_mask", {"mask": _png(np.broadcast_to(
+        np.kron(mask, np.ones((4, 4), np.uint8))[..., None], (512, 512, 3)))})
+    assert _unpng(out["mask"]).shape == (SIZE, SIZE)
+    assert _unpng(out["mask"]).max() == 255
+    out = _post(server, "depth", {"model": "constant"})
+    assert _unpng(out["depth"]).shape == (SIZE, SIZE)
+    out = _post(server, "preview", {"tx": 0.08, "ry": 15.0, "focal": 550.0})
+    assert _unpng(out["preview"]).shape == (SIZE, SIZE, 3)
+
+    # click without a SAM predictor -> clean JSON error, server stays up
+    out = _post(server, "click", {"x": 0.4, "y": 0.6}, expect_error=True)
+    assert "no SAM predictor" in out["error"]
+
+    # save + load round trip
+    out = _post(server, "save", {"root": str(tmp_path), "category": "Mix"})
+    loaded = _post(server, "load", {"folder": out["folder"]})
+    assert _unpng(loaded["image"]).shape == (SIZE, SIZE, 3)
+
+
+def test_ui_server_edit_and_inpaint(server):
+    """A real edit through the HTTP surface (tiny model, 4 DDIM steps)."""
+    image, mask = _scene()
+    _post(server, "load_image", {"image": _png(image)})
+    _post(server, "set_mask", {"mask": _png(np.broadcast_to(
+        mask[..., None], (SIZE, SIZE, 3)))})
+    _post(server, "depth", {"model": "constant"})
+    _post(server, "preview", {"tx": 0.08, "ry": 15.0})
+
+    # advanced values chosen so to_edit_config() lands EXACTLY on the configs
+    # test_ui_callbacks compiles (EditConfig(num_ddim_steps=2,
+    # skip_optim_steps=1, optimize_steps=...)) — the persistent compilation
+    # cache then shares the grad-through-UNet programs between the two files
+    common = {"num_ddim_steps": 2, "skip_steps": 1,
+              "cross_replace_steps": 0.95, "self_replace_steps": 0.95}
+    out = _post(server, "edit",
+                {"prompt": "a cube", "advanced": {**common, "optimize_steps": 0.65}})
+    edited = _unpng(out["edited"])
+    assert edited.shape[2] == 3 and edited.dtype == np.uint8
+
+    out = _post(server, "inpaint",
+                {"prompt": "", "advanced": {**common, "optimize_steps": 0.85}})
+    assert _unpng(out["edited"]).shape[2] == 3
+
+    # progress reached done
+    with urllib.request.urlopen(server + "/api/state") as r:
+        state = json.loads(r.read())
+    assert state["progress"]["running"] is False
+    assert state["progress"]["frac"] == 1.0
