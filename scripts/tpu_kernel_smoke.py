@@ -82,8 +82,8 @@ def main():
     bg[-8:] = 1
     inp, bg = jnp.asarray(inp), jnp.asarray(bg)
 
-    f_pal = jax.jit(lambda a, b, c, e: rc.removal_correlation(a, b, c, e, inp, bg, scale, "pallas", False))
-    f_xla = jax.jit(lambda a, b, c, e: rc.removal_correlation(a, b, c, e, inp, bg, scale, "xla", False))
+    f_pal = jax.jit(lambda a, b, c, e: rc.removal_correlation(a, b, c, e, inp, bg, None, scale, "pallas", False))
+    f_xla = jax.jit(lambda a, b, c, e: rc.removal_correlation(a, b, c, e, inp, bg, None, scale, "xla", False))
     rp, rx = f_pal(qe, k, qb, k), f_xla(qe, k, qb, k)
     for a, b, name in zip(rp[:2], rx[:2], ("p_in", "p_bg")):
         e = float(jnp.max(jnp.abs(a - b)))
@@ -97,7 +97,7 @@ def main():
     rows = jnp.arange(kk, dtype=jnp.int32)
 
     def loss_fused(qe_):
-        p_in, p_bg, _, j_bg = rc.removal_correlation(qe_, k, qb, k, inp, bg, scale, "pallas", False)
+        p_in, p_bg, _, j_bg = rc.removal_correlation(qe_, k, qb, k, inp, bg, None, scale, "pallas", False)
         d_bg = dist[rows[None, :], j_bg]
         w = jax.lax.stop_gradient(jnp.exp(-d_bg))
         return (w * (-jnp.log(jnp.maximum(p_bg, 0.) + 1e-4)
