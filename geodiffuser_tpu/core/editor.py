@@ -447,6 +447,41 @@ class EditSession:
 
         wm_cache: Dict = {}
         first_optim_done = False
+
+        # Deferred loss fetch: np.asarray(log_vec) right after the optimize
+        # dispatch puts a tunnel round trip between it and the CFG dispatch
+        # (~20 ms x 17 optimize steps through axon).  CFG steps never consume
+        # loss weights (compute_losses=False), and the adaptive-weight update
+        # only needs the logs by the NEXT optimize step — so the fetch rides
+        # there, overlapping device execution.
+        pending: list = []  # [(step, log_vec)]
+
+        def drain_logs():
+            nonlocal weights
+            for i_p, log_vec in pending:
+                log_np = np.asarray(log_vec)  # one fetch
+                log_keys = sorted(edit_attention.zero_logs().keys())
+                logs_host = dict(zip(log_keys, log_np[1:].tolist()))
+                logs_host = {
+                    k: float(v) for k, v in edit_attention.normalize_logs(logs_host).items()
+                }
+                logs_host["total"] = float(log_np[0])
+                loss_log[i_p] = logs_host
+                if cfg.use_adaptive_optimization:
+                    if cfg.edit_type == "geometry_stitch":
+                        weights = optimization.adaptive_step_stitching(
+                            weights, defaults, i_p, cfg.skip_optim_steps, n,
+                            logs_host["self/sim"],
+                        )
+                    else:
+                        weights = optimization.adaptive_step(
+                            weights, defaults, i_p, cfg.skip_optim_steps, n,
+                            logs_host["self/removal"], cfg.edit_type,
+                            cfg.removal_loss_value,
+                        )
+                if progress is not None:
+                    progress(i_p / n, desc=f"Editing loss: {logs_host['total']:.4f}")
+            pending.clear()
         # first step past both the optimize and latent-replace windows: the
         # remaining CFG-only steps run as one fused scan (no null-text
         # per-step context swaps in that regime)
@@ -484,6 +519,10 @@ class EditSession:
                 wm_cache[wm_key] = self._warp_mats(masks, r_j, tau_j)
             wm = wm_cache[wm_key]
             if do_optimize:
+                # apply the PREVIOUS optimize step's (deferred) logs to the
+                # adaptive weights before computing this step's weights
+                drain_logs()
+                wa = weight_arrays(weights)
                 lr_eff = (
                     np.float32(lr_first)
                     if cfg.use_optimizer
@@ -501,40 +540,29 @@ class EditSession:
                     else 1
                 )
                 first_optim_done = True
-                best = (np.inf, None, None)
-                for _ in range(n_inner):
-                    prev_state = (latents2, context4)
+                if n_inner == 1:
                     latents2, context4, sgd_state, log_vec, taps = self._optimize_step(
                         self.pipeline.params["unet"], latents2, context4, t_j,
                         masks, i_j, wa, r_j, tau_j, lr_eff, sgd_state, wm,
                     )
-                    log_np = np.asarray(log_vec)  # one fetch
-                    log_keys = sorted(edit_attention.zero_logs().keys())
-                    logs_host = dict(zip(log_keys, log_np[1:].tolist()))
-                    logs_host = {
-                        k: float(v) for k, v in edit_attention.normalize_logs(logs_host).items()
-                    }
-                    logs_host["total"] = float(log_np[0])
-                    loss_log[i] = logs_host
-                    if n_inner > 1 and logs_host["total"] < best[0]:
-                        best = (logs_host["total"], *prev_state)
-                    if cfg.use_adaptive_optimization:
-                        if cfg.edit_type == "geometry_stitch":
-                            weights = optimization.adaptive_step_stitching(
-                                weights, defaults, i, cfg.skip_optim_steps, n,
-                                logs_host["self/sim"],
-                            )
-                        else:
-                            weights = optimization.adaptive_step(
-                                weights, defaults, i, cfg.skip_optim_steps, n,
-                                logs_host["self/removal"], cfg.edit_type,
-                                cfg.removal_loss_value,
-                            )
+                    pending.append((i, log_vec))  # fetched at the next drain
+                else:
+                    # inner best-loss snapshotting needs the loss NOW
+                    best = (np.inf, None, None)
+                    for _ in range(n_inner):
+                        prev_state = (latents2, context4)
+                        latents2, context4, sgd_state, log_vec, taps = self._optimize_step(
+                            self.pipeline.params["unet"], latents2, context4, t_j,
+                            masks, i_j, wa, r_j, tau_j, lr_eff, sgd_state, wm,
+                        )
+                        pending.append((i, log_vec))
+                        drain_logs()
+                        logs_host = loss_log[i]
+                        if logs_host["total"] < best[0]:
+                            best = (logs_host["total"], *prev_state)
                         wa = weight_arrays(weights)
-                    if progress is not None:
-                        progress(i / n, desc=f"Editing loss: {logs_host['total']:.4f}")
-                if n_inner > 1 and best[1] is not None:
-                    latents2, context4 = best[1], best[2]
+                    if best[1] is not None:
+                        latents2, context4 = best[1], best[2]
 
             pinned = all_latents[n - 1 - i]
             do_replace = np.bool_(i < cfg.latent_replace * n)
@@ -571,6 +599,7 @@ class EditSession:
                 wm_cache[wm_key],
             )
 
+        drain_logs()  # last optimize step's logs (overlaps the tail scan)
         # force a host fetch: on the axon platform block_until_ready returns
         # before execution finishes; a tiny device_get drains the FIFO queue
         _ = np.asarray(latents2[0, 0, 0, :1])

@@ -324,6 +324,31 @@ class ShardedEditSession(EditSession):
         )
         tail_start = max(last_opt + 1, int(np.ceil(cfg.latent_replace * n)))
 
+        # deferred loss fetch (mirrors the single-chip loop): CFG steps never
+        # consume loss weights, so the (E, 1+K) log fetch rides to the NEXT
+        # optimize step instead of blocking between the two dispatches
+        pending: list = []  # [(step, log_vec)]
+
+        def drain_logs():
+            for i_p, log_vec in pending:
+                log_np = np.asarray(log_vec)  # (E, 1+K) single fetch
+                log_keys = sorted(edit_attention.zero_logs().keys())
+                raw = {k: log_np[:, 1 + j] for j, k in enumerate(log_keys)}
+                denom = np.maximum(raw["num_layers"], 1.0)
+                logs_host = {
+                    k: (v / denom if k != "num_layers" else v) for k, v in raw.items()
+                }
+                logs_host["total"] = log_np[:, 0]
+                loss_log[i_p] = logs_host
+                if cfg.use_adaptive_optimization:
+                    for j in range(e):
+                        weights_host[j] = optimization.adaptive_step(
+                            weights_host[j], defaults, i_p, cfg.skip_optim_steps, n,
+                            float(logs_host["self/removal"][j]),
+                            cfg.edit_type, cfg.removal_loss_value,
+                        )
+            pending.clear()
+
         for i, t in enumerate(timesteps):
             if i == tail_start:
                 break
@@ -338,6 +363,8 @@ class ShardedEditSession(EditSession):
                 and i >= cfg.fast_start_steps * n
             )
             if do_optimize:
+                drain_logs()
+                wa = stack_weights()
                 lr_eff = (
                     jnp.float32(lr_first)
                     if cfg.use_optimizer
@@ -347,23 +374,7 @@ class ShardedEditSession(EditSession):
                     self.pipeline.params["unet"], latents2, context4, t_j,
                     masks, i_j, wa, r_j, tau_j, lr_eff, sgd_state, wm,
                 )
-                log_np = np.asarray(log_vec)  # (E, 1+K) single fetch
-                log_keys = sorted(edit_attention.zero_logs().keys())
-                raw = {k: log_np[:, 1 + j] for j, k in enumerate(log_keys)}
-                denom = np.maximum(raw["num_layers"], 1.0)
-                logs_host = {
-                    k: (v / denom if k != "num_layers" else v) for k, v in raw.items()
-                }
-                logs_host["total"] = log_np[:, 0]
-                loss_log[i] = logs_host
-                if cfg.use_adaptive_optimization:
-                    for j in range(e):
-                        weights_host[j] = optimization.adaptive_step(
-                            weights_host[j], defaults, i, cfg.skip_optim_steps, n,
-                            float(logs_host["self/removal"][j]),
-                            cfg.edit_type, cfg.removal_loss_value,
-                        )
-                    wa = stack_weights()
+                pending.append((i, log_vec))
 
             pinned = all_latents[:, n - 1 - i]
             do_replace = jnp.bool_(i < cfg.latent_replace * n)
@@ -392,6 +403,7 @@ class ShardedEditSession(EditSession):
                 warp_mats_for(tail_start),
             )
 
+        drain_logs()  # last optimize step's logs (overlaps the tail scan)
         _ = np.asarray(latents2[0, 0, 0, 0, :1])  # axon: fetch forces sync
         timings["edit_loop"] = time.time() - t_loop
         self._warn_row_budget(masks)

@@ -129,12 +129,15 @@ def main():
             [np.asarray(camera.compose_transform(tx=0.05 + 0.01 * i, ry=10.0))
              for i in range(e)]
         )
-        t0 = time.time()
-        res = sess.run_batch(images, depths, masks_in, transforms,
-                             prompts=["probe"] * e)
-        wall = time.time() - t0
-        print(f"E={e} full 50-step batch: {wall:.1f}s total = "
-              f"{wall/e:.2f}s/edit amortized; timings={res.timings}", flush=True)
+        for label in ("cold", "warm"):
+            t0 = time.time()
+            res = sess.run_batch(images, depths, masks_in, transforms,
+                                 prompts=["probe"] * e)
+            wall = time.time() - t0
+            print(f"E={e} full 50-step batch ({label}): {wall:.1f}s total = "
+                  f"{wall/e:.2f}s/edit amortized; timings="
+                  f"{ {k: round(v, 2) for k, v in res.timings.items()} }",
+                  flush=True)
 
 
 if __name__ == "__main__":
