@@ -20,8 +20,6 @@ from geodiffuser_tpu.config import ModelConfig
 from geodiffuser_tpu.core.pipeline import Pipeline
 from geodiffuser_tpu.ui import serve
 
-pytestmark = pytest.mark.fast
-
 SIZE = 128
 
 
@@ -74,6 +72,7 @@ def _scene():
     return image, mask
 
 
+@pytest.mark.fast
 def test_ui_server_full_flow(server, tmp_path):
     image, mask = _scene()
 
