@@ -27,7 +27,7 @@ import hashlib
 import logging
 import time
 from collections import OrderedDict
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -349,6 +349,156 @@ class EditSession:
         out, _ = jax.lax.scan(body, latents2, (ts, is_, radii, taus, pinned_stack))
         return out
 
+    # ------------------------------------------------------------- precompile
+    def _decode_bundle_fn(self):
+        """Lazily-built jitted decode + postprocess-prefetch bundle."""
+        if not hasattr(self, "_decode_bundle"):
+            def _bundle(params_vae, lat, preview, mask2d):
+                img = self.pipeline.vae.apply(
+                    params_vae, lat / self.pipeline.config.vae_scaling_factor,
+                    method=self.pipeline.vae.decode,
+                )
+                img = jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
+                images_u8 = jnp.round(img * 255.0).astype(jnp.uint8)
+                h_img = images_u8.shape[1]
+                res_mask = image_ops.binarize(
+                    image_ops.resize_bilinear(mask2d, h_img, h_img)
+                )
+                warped_u8 = jnp.round(
+                    jnp.clip(preview, 0.0, 1.0) * 255.0
+                ).astype(jnp.uint8)
+                return images_u8, res_mask, warped_u8
+
+            self._decode_bundle = jax.jit(_bundle)
+        return self._decode_bundle
+
+    def precompile(self, uncond_prompt: bool = False, max_workers: int = 8,
+                   verbose: bool = False) -> Dict[str, float]:
+        """Compile this session's device programs ahead of the first edit,
+        CONCURRENTLY, from shape-faithful dummy arguments.
+
+        A cold compile of the grad-through-UNet optimize step alone takes
+        minutes through a remote-compile backend, and `run()` triggers the
+        programs one at a time as the loop reaches them.  Issuing all the
+        `.lower().compile()` calls from a thread pool overlaps the backend
+        compiles and writes the exact persistent-cache entries the later
+        `run()` calls hit (same HLO: argument avals are derived with
+        `jax.eval_shape` along the same code paths `run()` uses).
+
+        Failures are non-fatal — `run()` simply compiles serially for any
+        program precompile missed.  Returns seconds per compiled program.
+        """
+        import concurrent.futures
+
+        cfg = self.cfg
+        pipe = self.pipeline
+        h = pipe.image_size
+        f32, i32 = np.float32, np.int32
+        zeros = lambda s: jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), s)
+
+        img = jnp.zeros((h, h, 3), jnp.float32)
+        dep = jnp.zeros((h, h), jnp.float32)
+        msk = jnp.zeros((h, h), jnp.float32)
+        tra = jnp.eye(4, dtype=jnp.float32)
+        tf_s, masks_s = jax.eval_shape(self._preprocess, img, dep, msk, tra)
+        masks = zeros(masks_s)
+        wm = zeros(jax.eval_shape(self._warp_mats, masks_s, f32(1.0), f32(1.0)))
+
+        ids = jnp.zeros((1, pipe.config.text_max_length), jnp.int32)
+        ctx = zeros(jax.eval_shape(
+            lambda p, i: pipe.text_encoder.apply(p, i), pipe.params["text"], ids
+        ))
+        invert_fn = self._invert_cfg_free if uncond_prompt else self._invert
+        lat0_s = jax.eval_shape(
+            lambda p, im: pipe.vae.apply(
+                p, (im.astype(jnp.float32) * 2.0 - 1.0)[None], method=pipe.vae.encode
+            ) * pipe.config.vae_scaling_factor,
+            pipe.params["vae"], img,
+        )
+        lat0 = zeros(lat0_s)
+        all_lat = zeros(jax.eval_shape(
+            invert_fn, pipe.params["unet"], lat0, ctx, ctx
+        )[0])  # (T+1, 1, h, w, 4); [1] is the noise trajectory
+        x_t = all_lat[-1]
+        latents2 = jnp.concatenate([x_t, x_t], axis=0)
+        context4 = jnp.concatenate([ctx, ctx, ctx, ctx], axis=0).astype(jnp.float32)
+        weights = {
+            b: {k_: f32(v_) for k_, v_ in t_.items()}
+            for b, t_ in cfg.resolved_loss_weights().items()
+        }
+        sgd_state = (
+            optimization.init_sgd_state(latents2[1], context4[3])
+            if cfg.use_optimizer else None
+        )
+        t_j, i_j = i32(500), i32(2)
+        r_j, tau_j, lr_j = f32(1.0), f32(0.8), f32(cfg.lr)
+        pinned = jnp.zeros(all_lat.shape[1:], all_lat.dtype)
+        do_replace = np.bool_(True)
+
+        opt_args = (pipe.params["unet"], latents2, context4, t_j, masks, i_j,
+                    weights, r_j, tau_j, lr_j, sgd_state, wm)
+        taps = zeros(jax.eval_shape(self._optimize_step, *opt_args)[4])
+
+        tasks = {
+            "preprocess": (self._preprocess, (img, dep, msk, tra)),
+            "invert": (invert_fn, (pipe.params["unet"], lat0, ctx, ctx)),
+            "optimize": (self._optimize_step, opt_args),
+            "cfg": (self._cfg_step, (
+                pipe.params["unet"], latents2, context4, t_j, masks, i_j,
+                weights, r_j, tau_j, pinned, do_replace, wm,
+            )),
+            "cfg_taps": (self._cfg_step_taps, (
+                pipe.params["unet"], latents2, context4, t_j, masks, i_j,
+                weights, r_j, tau_j, pinned, do_replace, wm, taps,
+            )),
+            "warp_mats": (self._warp_mats, (masks, r_j, tau_j)),
+            "decode": (self._decode_bundle_fn(), (
+                pipe.params["vae"], latents2, zeros(tf_s.warped_preview),
+                masks[pipe.latent_size].mask_new_warped_2d,
+            )),
+        }
+        # fused CFG tail: its scan length is a static shape — reproduce the
+        # exact tail_start arithmetic from run()
+        n = cfg.num_ddim_steps
+        optimize_frac = min(
+            cfg.optimize_steps, max(cfg.self_replace_steps, cfg.cross_replace_steps)
+        )
+        last_opt = max(
+            [i for i in range(n)
+             if i < optimize_frac * n and i % cfg.skip_optim_steps == 0] + [-1]
+        )
+        tail_start = max(last_opt + 1, int(np.ceil(cfg.latent_replace * n)))
+        k = n - tail_start
+        if k > 0:
+            tasks["cfg_tail"] = (self._cfg_tail, (
+                pipe.params["unet"], latents2, context4, masks,
+                np.zeros((k,), i32), np.arange(tail_start, n, dtype=i32),
+                np.ones((k,), f32), np.ones((k,), f32),
+                jnp.zeros((k,) + all_lat.shape[1:], all_lat.dtype),
+                weights, wm,
+            ))
+
+        def compile_one(name):
+            fn, args = tasks[name]
+            t0 = time.time()
+            fn.lower(*args).compile()
+            return name, time.time() - t0
+
+        timers: Dict[str, float] = {}
+        with concurrent.futures.ThreadPoolExecutor(max_workers=max_workers) as ex:
+            futs = {ex.submit(compile_one, name): name for name in tasks}
+            for fut in concurrent.futures.as_completed(futs):
+                try:
+                    name, dt = fut.result()
+                    timers[name] = dt
+                    if verbose:
+                        import sys as _sys
+                        print(f"# precompiled {name}: {dt:.1f}s",
+                              file=_sys.stderr, flush=True)
+                except Exception as exc:  # non-fatal: run() compiles serially
+                    log.warning("precompile %s failed: %s", futs[fut], exc)
+        return timers
+
     # ------------------------------------------------------------------- run
     def run(
         self,
@@ -610,25 +760,7 @@ class EditSession:
         # One jitted bundle + one device_get: separate np.asarray fetches of
         # images / warped preview / resized mask each pay a tunnel round trip
         t_post = time.time()
-        if not hasattr(self, "_decode_bundle"):
-            def _bundle(params_vae, lat, preview, mask2d):
-                img = self.pipeline.vae.apply(
-                    params_vae, lat / self.pipeline.config.vae_scaling_factor,
-                    method=self.pipeline.vae.decode,
-                )
-                img = jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
-                images_u8 = jnp.round(img * 255.0).astype(jnp.uint8)
-                h_img = images_u8.shape[1]
-                res_mask = image_ops.binarize(
-                    image_ops.resize_bilinear(mask2d, h_img, h_img)
-                )
-                warped_u8 = jnp.round(
-                    jnp.clip(preview, 0.0, 1.0) * 255.0
-                ).astype(jnp.uint8)
-                return images_u8, res_mask, warped_u8
-
-            self._decode_bundle = jax.jit(_bundle)
-        images, res_mask, warped_input = jax.device_get(self._decode_bundle(
+        images, res_mask, warped_input = jax.device_get(self._decode_bundle_fn()(
             self.pipeline.params["vae"], latents2, tf.warped_preview,
             masks[self.pipeline.latent_size].mask_new_warped_2d,
         ))
@@ -719,6 +851,49 @@ def perform_geometric_edit(
 _SESSION_CACHE: Dict = {}
 
 
+def stitch_composite(
+    cfg: EditConfig,
+    background: np.ndarray,    # (H, W, 3)
+    foreground: np.ndarray,    # (H, W, 3) image containing the object
+    fg_mask: np.ndarray,       # (H, W) object mask in the foreground image
+    depth: np.ndarray,         # (H, W) depth of the foreground image
+    transform: np.ndarray,     # (4, 4) placement transform
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pre-composite for stitching (editor.py:512-544): warp the fg image and
+    mask by the transform field, paste onto the background.  Returns
+    (composite HxWx3 in [0,1], warped binary mask HxW) — the inputs of an
+    identity-transform editor run (see perform_stitch).  Used directly by the
+    batch driver to sweep stitch experiment folders."""
+    fg = np.asarray(foreground, np.float32)
+    bg = np.asarray(background, np.float32)
+    if fg.max() > 1.5:
+        fg = fg / 255.0
+    if bg.max() > 1.5:
+        bg = bg / 255.0
+
+    tf = tf_ops.build_transform_field(
+        jnp.asarray(fg), jnp.asarray(depth, jnp.float32),
+        image_ops.binarize(jnp.asarray(fg_mask, jnp.float32)),
+        jnp.asarray(transform, jnp.float32),
+        focal_length=cfg.focal_length,
+        splat_radius=cfg.splat.radius, splat_tau=cfg.splat.tau,
+        z_beta=cfg.splat.z_beta,
+    )
+    warped_img = splat_ops.splat_image(
+        jnp.asarray(fg), tf.coords, radius=cfg.splat.radius, tau=cfg.splat.tau,
+        z_beta=cfg.splat.z_beta,
+    )
+    warped_mask = image_ops.binarize(
+        splat_ops.splat_image(
+            image_ops.binarize(jnp.asarray(fg_mask, jnp.float32))[..., None],
+            tf.coords, radius=cfg.splat.radius, tau=cfg.splat.tau, z_beta=cfg.splat.z_beta,
+        )[..., 0]
+    )
+    m3 = warped_mask[..., None]
+    composite = np.asarray(jnp.clip(warped_img * m3 + jnp.asarray(bg) * (1.0 - m3), 0, 1))
+    return composite, np.asarray(warped_mask)
+
+
 def perform_stitch(
     pipeline: Pipeline,
     background: np.ndarray,    # (H, W, 3)
@@ -743,35 +918,9 @@ def perform_stitch(
     base trajectory.
     """
     cfg = cfg or EditConfig(edit_type="geometry_stitch")
-    fg = np.asarray(foreground, np.float32)
-    bg = np.asarray(background, np.float32)
-    if fg.max() > 1.5:
-        fg = fg / 255.0
-    if bg.max() > 1.5:
-        bg = bg / 255.0
-
-    # Composite (editor.py:512-527): warp the fg image and mask by the
-    # transform field, paste onto the background.
-    tf = tf_ops.build_transform_field(
-        jnp.asarray(fg), jnp.asarray(depth, jnp.float32),
-        image_ops.binarize(jnp.asarray(fg_mask, jnp.float32)),
-        jnp.asarray(transform, jnp.float32),
-        focal_length=cfg.focal_length,
-        splat_radius=cfg.splat.radius, splat_tau=cfg.splat.tau,
-        z_beta=cfg.splat.z_beta,
+    composite, warped_mask = stitch_composite(
+        cfg, background, foreground, fg_mask, depth, transform
     )
-    warped_img = splat_ops.splat_image(
-        jnp.asarray(fg), tf.coords, radius=cfg.splat.radius, tau=cfg.splat.tau,
-        z_beta=cfg.splat.z_beta,
-    )
-    warped_mask = image_ops.binarize(
-        splat_ops.splat_image(
-            image_ops.binarize(jnp.asarray(fg_mask, jnp.float32))[..., None],
-            tf.coords, radius=cfg.splat.radius, tau=cfg.splat.tau, z_beta=cfg.splat.z_beta,
-        )[..., 0]
-    )
-    m3 = warped_mask[..., None]
-    composite = np.asarray(jnp.clip(warped_img * m3 + jnp.asarray(bg) * (1.0 - m3), 0, 1))
 
     if session is None:
         session = EditSession(pipeline, cfg)

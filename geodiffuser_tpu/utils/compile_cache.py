@@ -1,0 +1,60 @@
+"""Persistent-compile-cache locations.
+
+TPU executables are host-CPU-independent and live in `<repo>/.jax_cache`.
+XLA:CPU AOT results are NOT portable across host machines: entries compiled
+on one CPU embed its machine features, and loading them on a different host
+logs `cpu_aot_loader.cc` feature-mismatch errors and recompiles (or worse,
+SIGILLs).  Round 3's driver dry run timed out exactly this way — its cache
+was warmed on a different machine.  CPU entries therefore live under
+`<repo>/.jax_cache_cpu/<host-fingerprint>/`, so a foreign host starts cold
+instead of erroring through stale entries.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import platform
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def host_fingerprint() -> str:
+    """Stable short id of this host's CPU feature set."""
+    h = hashlib.sha256()
+    h.update(platform.machine().encode())
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    h.update(" ".join(sorted(line.split(":", 1)[1].split())).encode())
+                    break
+    except OSError:
+        h.update(platform.processor().encode())
+    return h.hexdigest()[:12]
+
+
+def tpu_cache_dir(root: str | None = None) -> str:
+    return os.path.join(root or _repo_root(), ".jax_cache")
+
+
+def cpu_cache_dir(root: str | None = None) -> str:
+    d = os.path.join(root or _repo_root(), ".jax_cache_cpu", host_fingerprint())
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def configure(platform_name: str = "cpu", root: str | None = None) -> str:
+    """Point jax's persistent compilation cache at the right directory.
+
+    Call after `import jax` (the environment's sitecustomize pins the axon
+    backend, so `jax.config.update("jax_platforms", ...)` must also be used
+    by CPU-only callers)."""
+    import jax
+
+    d = cpu_cache_dir(root) if platform_name == "cpu" else tpu_cache_dir(root)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    return d

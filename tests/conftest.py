@@ -21,6 +21,8 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the big grad-through-UNet programs cost
 # minutes of XLA-CPU compile; caching them makes test reruns (and the
 # driver's full-size AOT dry run, which compiles the same programs) cheap.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+# XLA:CPU AOT entries are host-machine-keyed (utils/compile_cache.py), so
+# CPU tests must NOT share the TPU cache dir.
+from geodiffuser_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.configure("cpu")
