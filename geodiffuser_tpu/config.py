@@ -57,6 +57,18 @@ REMOVER_LOSS_WEIGHTS: Mapping[str, Mapping[str, float]] = {
     "self": {"sim": 55.0, "movement": 0.0, "removal": 4.6, "smoothness": 30.0, "amodal": 0.0},
     "cross": {"sim": 45.0, "movement": 0.0, "removal": 4.6, "smoothness": 15.0, "amodal": 0.0},
 }
+# Stitch sweep table (large_scale_editor.py:233-246).  The reference's stitch
+# losses split in/out-of-mask terms (sim/sim_out, movement/movement_out); our
+# stitch redesign (core/editor.perform_stitch) runs the editor loss set on the
+# pre-composited image, where `sim` IS the out-of-mask background-preservation
+# term and `movement` the in-mask placement term — so sim takes the
+# reference's sim_out value (self 120 / cross 30) and movement its movement
+# value (self 40 / cross 5).  removal/amodal are unused by the reference's
+# stitch table and stay 0.
+STITCH_LOSS_WEIGHTS: Mapping[str, Mapping[str, float]] = {
+    "self": {"sim": 120.0, "movement": 40.0, "removal": 0.0, "smoothness": 2.0, "amodal": 0.0},
+    "cross": {"sim": 30.0, "movement": 5.0, "removal": 0.0, "smoothness": 1.0, "amodal": 0.0},
+}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -120,6 +132,8 @@ class EditConfig:
             return self.loss_weights
         if self.edit_type == "geometry_remover":
             return REMOVER_LOSS_WEIGHTS
+        if self.edit_type == "geometry_stitch":
+            return STITCH_LOSS_WEIGHTS
         return EDITOR_LOSS_WEIGHTS
 
     @property

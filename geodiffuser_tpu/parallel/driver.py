@@ -24,7 +24,12 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from geodiffuser_tpu.config import EDITOR_LOSS_WEIGHTS, EditConfig, ModelConfig
+from geodiffuser_tpu.config import (
+    EDITOR_LOSS_WEIGHTS,
+    EditConfig,
+    ModelConfig,
+    SplatConfig,
+)
 from geodiffuser_tpu.utils import exp_io
 
 log = logging.getLogger("geodiffuser_tpu.driver")
@@ -49,6 +54,25 @@ def config_for_edit_type(edit_type: str, num_ddim_steps: int = 50) -> EditConfig
             obj_edit_step=1.0,
             skip_optim_steps=2,
             loss_weights=REMOVER_SWEEP_WEIGHTS,
+        )
+    if edit_type == "geometry_stitch":
+        # tuned stitch block (large_scale_editor.py:233-246): lr 0.03,
+        # latent_replace 0.2, softer splat (tau 0.1, radius 1.0, ppp 30);
+        # the rest inherit perform_exp's defaults (optimize 0.85,
+        # cross/self replace 0.9, obj_edit 1.0, guidance 5.0,
+        # large_scale_editor.py:199-212).  Weights: config.STITCH_LOSS_WEIGHTS.
+        return EditConfig(
+            edit_type=edit_type,
+            num_ddim_steps=num_ddim_steps,
+            guidance_scale=5.0,
+            lr=0.03,
+            optimize_steps=0.85,
+            latent_replace=0.2,
+            cross_replace_steps=0.9,
+            self_replace_steps=0.9,
+            obj_edit_step=1.0,
+            skip_optim_steps=2,
+            splat=SplatConfig(radius=1.0, tau=0.1, points_per_pixel=30),
         )
     return EditConfig(
         edit_type="geometry_editor",
@@ -131,6 +155,23 @@ def run_folder_sweep(
         if limit and len(todo) >= limit:
             break
 
+    def edit_inputs(edit_type: str, exp, cfg):
+        """(image, depth, mask, transform) for the session.  Stitch
+        experiments (background_image.png present) are pre-composited —
+        the warped object pasted onto the background — and run as an
+        identity-transform edit on the warped mask (perform_stitch)."""
+        if edit_type == "geometry_stitch" and exp.background_image is not None:
+            from geodiffuser_tpu.core.editor import stitch_composite
+
+            comp, wmask = stitch_composite(
+                cfg, exp.background_image, exp.input_image, exp.input_mask,
+                exp.depth, exp.transform,
+            )
+            h, w = comp.shape[:2]
+            return (comp, np.full((h, w), 0.5, np.float32), wmask,
+                    np.eye(4, dtype=np.float32))
+        return exp.input_image, exp.depth, exp.input_mask, exp.transform
+
     def get_session(edit_type: str) -> EditSession:
         if edit_type not in sessions:
             cfg = config_for_edit_type(edit_type, num_ddim_steps)
@@ -167,12 +208,13 @@ def run_folder_sweep(
                 # pad the group to a full shard count by repeating the last
                 pad = group_size - len(exps)
                 exps_p = exps + [exps[-1]] * pad
+                inputs = [edit_inputs(et, e, sess.cfg) for e in exps_p]
                 t0 = time.time()
                 res = sess.run_batch(
-                    np.stack([e.input_image for e in exps_p]),
-                    np.stack([e.depth for e in exps_p]),
-                    np.stack([e.input_mask for e in exps_p]),
-                    np.stack([e.transform for e in exps_p]),
+                    np.stack([i[0] for i in inputs]),
+                    np.stack([i[1] for i in inputs]),
+                    np.stack([i[2] for i in inputs]),
+                    np.stack([i[3] for i in inputs]),
                     exp_folders=[e.path for e in exps_p],
                 )
                 dt = time.time() - t0
@@ -189,11 +231,9 @@ def run_folder_sweep(
         loader = _experiment_loader([f for _, f in todo], use_native)
         for (et, folder), exp in zip(todo, loader):
             sess = get_session(et)
+            img, dep, msk, tra = edit_inputs(et, exp, sess.cfg)
             t0 = time.time()
-            res = sess.run(
-                exp.input_image, exp.depth, exp.input_mask, exp.transform,
-                exp_folder=folder,
-            )
+            res = sess.run(img, dep, msk, tra, exp_folder=folder)
             dt = time.time() - t0
             exp_io.save_results(exp, res.edited_image, res.loss_log)
             times[folder] = dt

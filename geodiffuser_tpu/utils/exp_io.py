@@ -174,9 +174,13 @@ def list_experiments(root: str):
 
 def edit_type_for_category(category: str) -> Optional[str]:
     """Category -> edit type routing (large_scale_editor.py:377-386):
-    Removal -> remover; Rotation_2D/Scaling skipped; else editor."""
+    Removal -> remover; Rotation_2D/Scaling skipped; stitch categories (the
+    reference's ui_outputs/stitching tree, large_scale_editor.py:325-326)
+    -> stitch; else editor."""
     if category in ("Rotation_2D", "Scaling"):
         return None
     if category == "Removal":
         return "geometry_remover"
+    if category.lower() in ("stitch", "stitching", "geometry_stitch"):
+        return "geometry_stitch"
     return "geometry_editor"

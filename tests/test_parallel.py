@@ -253,3 +253,44 @@ def test_driver_folder_sweep_end_to_end(tmp_path, use_native):
     )
     assert len(times3) == 3
     assert (tmp_path / "Removal" / "0" / "result_ls.png").exists()
+
+
+def test_driver_stitch_sweep(tmp_path):
+    """A Stitching category routes to geometry_stitch with the tuned sweep
+    block (large_scale_editor.py:233-246) and runs the composite-then-edit
+    path through the driver (VERDICT r3 missing #4)."""
+    from geodiffuser_tpu.config import STITCH_LOSS_WEIGHTS
+    from geodiffuser_tpu.parallel import driver
+
+    cfg = driver.config_for_edit_type("geometry_stitch", num_ddim_steps=2)
+    assert cfg.edit_type == "geometry_stitch"
+    assert cfg.latent_replace == 0.2
+    assert cfg.splat.tau == 0.1 and cfg.splat.radius == 1.0
+    assert cfg.resolved_loss_weights() == STITCH_LOSS_WEIGHTS
+    assert exp_io.edit_type_for_category("Stitching") == "geometry_stitch"
+
+    size = SIZE
+    rng = np.random.RandomState(1)
+    yy, xx = np.mgrid[0:size, 0:size]
+    mask = (((xx - 25) ** 2 + (yy - 35) ** 2) < 10 ** 2).astype(np.float32)
+    folder = str(tmp_path / "Stitching" / "0")
+    img = (rng.rand(size, size, 3) * 255).astype(np.uint8)
+    bg = (rng.rand(size, size, 3) * 255).astype(np.uint8)
+    exp_io.save_exp(
+        folder, img, np.full((size, size), 0.5, np.float32), mask,
+        camera.compose_transform(tx=0.05), image_shape=(size, size),
+        background_image=bg,
+    )
+
+    pipe = Pipeline.create(ModelConfig.tiny(), image_size=size)
+    times = driver.run_folder_sweep(
+        str(tmp_path), image_size=size, pipe=pipe,
+        config_overrides=dict(num_ddim_steps=2, skip_optim_steps=1),
+        num_ddim_steps=2, use_native=False,
+    )
+    assert len(times) == 1
+    import os
+
+    out = tmp_path / "Stitching" / "0"
+    assert (out / "result_ls.png").exists()
+    assert (out / "loss_log.json").exists()
