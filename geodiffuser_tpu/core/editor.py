@@ -52,6 +52,10 @@ class EditResult:
     loss_log: Dict[int, Dict[str, float]]
     warped_preview: Optional[np.ndarray] = None
     timings: Optional[Dict[str, float]] = None
+    # adaptive loss-weight values as of each logged optimize step (i.e. the
+    # weights the NEXT optimize step will use), flattened "branch/key" —
+    # regression tests pin this trajectory (tests/test_regression.py)
+    weight_log: Optional[Dict[int, Dict[str, float]]] = None
 
 
 def _attention_resolutions(latent_size: int) -> tuple:
@@ -606,6 +610,8 @@ class EditSession:
         # there, overlapping device execution.
         pending: list = []  # [(step, log_vec)]
 
+        weight_log: Dict[int, Dict[str, float]] = {}
+
         def drain_logs():
             nonlocal weights
             for i_p, log_vec in pending:
@@ -629,6 +635,10 @@ class EditSession:
                             logs_host["self/removal"], cfg.edit_type,
                             cfg.removal_loss_value,
                         )
+                weight_log[i_p] = {
+                    f"{b}/{k_}": float(v_)
+                    for b, t_ in weights.items() for k_, v_ in t_.items()
+                }
                 if progress is not None:
                     progress(i_p / n, desc=f"Editing loss: {logs_host['total']:.4f}")
             pending.clear()
@@ -776,6 +786,7 @@ class EditSession:
             loss_log=loss_log,
             warped_preview=warped_input,
             timings=timings,
+            weight_log=weight_log,
         )
 
     def _postprocess(self, edited_u8, image_f, mask_np, res_mask=None,
