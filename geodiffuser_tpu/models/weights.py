@@ -409,6 +409,39 @@ def _check_same_structure(ours, theirs, name: str):
         )
 
 
+def _load_state(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch state dict from .safetensors or .bin/.pth."""
+    if path.endswith(".safetensors"):
+        return _load_safetensors(path)
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(state, dict) and "state_dict" in state:
+        state = state["state_dict"]
+    return {k: v.numpy() for k, v in state.items()}
+
+
+def load_vae_override(vae_dir: str, init_vae_params: dict, config) -> dict:
+    """Load a standalone swap VAE (the reference swaps the SD VAE for
+    `stabilityai/sd-vae-ft-mse`, diffusion.py:126-128).  `vae_dir` is a
+    diffusers AutoencoderKL directory (`diffusion_pytorch_model.safetensors`
+    at its root or under `vae/`)."""
+    import jax
+
+    for rel in ("diffusion_pytorch_model.safetensors", "diffusion_pytorch_model.bin",
+                "vae/diffusion_pytorch_model.safetensors", "vae/diffusion_pytorch_model.bin"):
+        path = os.path.join(vae_dir, rel)
+        if os.path.exists(path):
+            break
+    else:
+        raise FileNotFoundError(f"no VAE weights under {vae_dir}")
+    converted = convert_vae(_load_state(path))
+    _check_same_structure(init_vae_params, converted, "vae-override")
+    return jax.tree.map(
+        lambda a, b: jnp.asarray(b, a.dtype), init_vae_params, converted
+    )
+
+
 def load_sd_checkpoint(checkpoint_dir: str, init_params: dict, config) -> dict:
     """Replace random-init params with converted checkpoint weights,
     validating exact structural agreement."""
