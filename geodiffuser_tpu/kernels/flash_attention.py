@@ -14,8 +14,13 @@ probability map is never materialized in HBM in EITHER pass.  This is what
 lets the optimize step (grad of the shared-attention loss through the UNet,
 reference editor.py:181-336) run attention at flash cost.
 
-Head dims in SD-1.x are 40/80/160; operands are zero-padded to 128 lanes
-(zeros don't change logits, the weighted sum, or any gradient).
+Head dims in SD-1.x are 40/80/160; operands are passed at their NATIVE head
+dim.  The MXU pads the contraction to its 128-deep systolic wave either way
+(cycle count is identical), but padding the arrays in HBM — what earlier
+revisions did — materializes 3.2x the bytes at d=40 (a full padded write of
+q/k/v/o plus 3.2x the kernel DMA traffic at the 64^2 layers).  Blocks cover
+the whole head dim, so every DMA row is contiguous; Mosaic masks the lane
+tail in VMEM.
 """
 
 from __future__ import annotations
@@ -70,15 +75,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         lse_ref[0] = m_scr[:] + jnp.log(l_scr[:])
 
 
-def _pad_lanes(t, d_pad):
-    d = t.shape[-1]
-    if d_pad == d:
-        return t
-    return jnp.pad(t, [(0, 0)] * (t.ndim - 1) + [(0, d_pad - d)])
-
-
 def _flash_fwd_impl(q, k, v, scale, block_q, block_k, interpret):
-    """Returns (o, lse) on flattened (B, L, D_pad) operands."""
+    """Returns (o, lse) on flattened (B, L, D) operands (native head dim)."""
     l, d = q.shape[-2:]
     lk = k.shape[-2]
     b = math.prod(q.shape[:-2])
@@ -86,10 +84,9 @@ def _flash_fwd_impl(q, k, v, scale, block_q, block_k, interpret):
     bk = min(block_k, lk)
     assert l % bq == 0 and lk % bk == 0, (l, lk, bq, bk)
 
-    d_pad = ((d + 127) // 128) * 128
-    qf = _pad_lanes(q.reshape(b, l, d), d_pad)
-    kf = _pad_lanes(k.reshape(b, lk, d), d_pad)
-    vf = _pad_lanes(v.reshape(b, lk, d), d_pad)
+    qf = q.reshape(b, l, d)
+    kf = k.reshape(b, lk, d)
+    vf = v.reshape(b, lk, d)
 
     kv_steps = lk // bk
     grid = (b, l // bq, kv_steps)
@@ -97,22 +94,22 @@ def _flash_fwd_impl(q, k, v, scale, block_q, block_k, interpret):
         functools.partial(_fwd_kernel, scale=scale, kv_steps=kv_steps),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, d_pad), lambda b_, i, j: (b_, i, 0)),
-            pl.BlockSpec((1, bk, d_pad), lambda b_, i, j: (b_, j, 0)),
-            pl.BlockSpec((1, bk, d_pad), lambda b_, i, j: (b_, j, 0)),
+            pl.BlockSpec((1, bq, d), lambda b_, i, j: (b_, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda b_, i, j: (b_, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b_, i, j: (b_, j, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, bq, d_pad), lambda b_, i, j: (b_, i, 0)),
+            pl.BlockSpec((1, bq, d), lambda b_, i, j: (b_, i, 0)),
             pl.BlockSpec((1, bq, 1), lambda b_, i, j: (b_, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, l, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((b, l, d), q.dtype),
             jax.ShapeDtypeStruct((b, l, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, d_pad), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
         ],
         interpret=interpret,
     )(qf, kf, vf)
@@ -206,17 +203,16 @@ def _flash_bwd_impl(q, k, v, o, lse, g, scale, block_q, block_k, interpret):
     b = math.prod(q.shape[:-2])
     bq = min(block_q, l)
     bk = min(block_k, lk)
-    d_pad = ((d + 127) // 128) * 128
 
-    qf = _pad_lanes(q.reshape(b, l, d), d_pad)
-    kf = _pad_lanes(k.reshape(b, lk, d), d_pad)
-    vf = _pad_lanes(v.reshape(b, lk, d), d_pad)
-    dof = _pad_lanes(g.reshape(b, l, d), d_pad)
+    qf = q.reshape(b, l, d)
+    kf = k.reshape(b, lk, d)
+    vf = v.reshape(b, lk, d)
+    dof = g.reshape(b, l, d)
     of = o.reshape(b, l, d)
     lsef = lse.reshape(b, l, 1)
     # delta_i = sum_d do[i,d] * o[i,d] — a fused elementwise+reduce in XLA.
     delta = jnp.sum(
-        dof[..., :d].astype(jnp.float32) * of.astype(jnp.float32), axis=-1,
+        dof.astype(jnp.float32) * of.astype(jnp.float32), axis=-1,
         keepdims=True,
     )
 
@@ -227,16 +223,16 @@ def _flash_bwd_impl(q, k, v, o, lse, g, scale, block_q, block_k, interpret):
         functools.partial(_bwd_dq_kernel, scale=scale, kv_steps=kv_steps),
         grid=(b, q_steps, kv_steps),
         in_specs=[
-            pl.BlockSpec((1, bq, d_pad), lambda b_, i, j: (b_, i, 0)),
-            pl.BlockSpec((1, bk, d_pad), lambda b_, i, j: (b_, j, 0)),
-            pl.BlockSpec((1, bk, d_pad), lambda b_, i, j: (b_, j, 0)),
-            pl.BlockSpec((1, bq, d_pad), lambda b_, i, j: (b_, i, 0)),
+            pl.BlockSpec((1, bq, d), lambda b_, i, j: (b_, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda b_, i, j: (b_, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b_, i, j: (b_, j, 0)),
+            pl.BlockSpec((1, bq, d), lambda b_, i, j: (b_, i, 0)),
             pl.BlockSpec((1, bq, 1), lambda b_, i, j: (b_, i, 0)),
             pl.BlockSpec((1, bq, 1), lambda b_, i, j: (b_, i, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, d_pad), lambda b_, i, j: (b_, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, l, d_pad), q.dtype),
-        scratch_shapes=[pltpu.VMEM((bq, d_pad), jnp.float32)],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b_, i, j: (b_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, l, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         interpret=interpret,
     )(qf, kf, vf, dof, lsef, delta)
 
@@ -244,31 +240,31 @@ def _flash_bwd_impl(q, k, v, o, lse, g, scale, block_q, block_k, interpret):
         functools.partial(_bwd_dkv_kernel, scale=scale, q_steps=q_steps),
         grid=(b, kv_steps, q_steps),
         in_specs=[
-            pl.BlockSpec((1, bq, d_pad), lambda b_, j, i: (b_, i, 0)),
-            pl.BlockSpec((1, bk, d_pad), lambda b_, j, i: (b_, j, 0)),
-            pl.BlockSpec((1, bk, d_pad), lambda b_, j, i: (b_, j, 0)),
-            pl.BlockSpec((1, bq, d_pad), lambda b_, j, i: (b_, i, 0)),
+            pl.BlockSpec((1, bq, d), lambda b_, j, i: (b_, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda b_, j, i: (b_, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b_, j, i: (b_, j, 0)),
+            pl.BlockSpec((1, bq, d), lambda b_, j, i: (b_, i, 0)),
             pl.BlockSpec((1, bq, 1), lambda b_, j, i: (b_, i, 0)),
             pl.BlockSpec((1, bq, 1), lambda b_, j, i: (b_, i, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, bk, d_pad), lambda b_, j, i: (b_, j, 0)),
-            pl.BlockSpec((1, bk, d_pad), lambda b_, j, i: (b_, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b_, j, i: (b_, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b_, j, i: (b_, j, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, lk, d_pad), k.dtype),
-            jax.ShapeDtypeStruct((b, lk, d_pad), v.dtype),
+            jax.ShapeDtypeStruct((b, lk, d), k.dtype),
+            jax.ShapeDtypeStruct((b, lk, d), v.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bk, d_pad), jnp.float32),
-            pltpu.VMEM((bk, d_pad), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
         ],
         interpret=interpret,
     )(qf, kf, vf, dof, lsef, delta)
 
-    dq = dq[..., :d].reshape(q.shape)
-    dk = dk[..., :d].reshape(k.shape)
-    dv = dv[..., :d].reshape(v.shape)
+    dq = dq.reshape(q.shape)
+    dk = dk.reshape(k.shape)
+    dv = dv.reshape(v.shape)
     return dq, dk, dv
 
 
@@ -284,10 +280,11 @@ def flash_attention(
 ) -> jnp.ndarray:
     """softmax(q k^T * scale) v without materializing the map.
 
-    q, k, v: (..., L, D) with any leading batch dims; D is zero-padded to a
-    multiple of 128 internally; L must divide by the block sizes (callers
-    use powers of two >= 256).  Differentiable: the backward is also a
-    Pallas flash kernel (no HBM map in either pass).
+    q, k, v: (..., L, D) with any leading batch dims; D is carried at its
+    native width (Mosaic masks the lane tail in VMEM; no HBM padding);
+    L must divide by the block sizes (callers use powers of two >= 256).
+    Differentiable: the backward is also a Pallas flash kernel (no HBM map
+    in either pass).
 
     Default blocks (512, 1024) from scripts/tpu_flash_block_probe.py on
     v5e: the wider k block halves the online-softmax rescale passes and
@@ -296,16 +293,13 @@ def flash_attention(
     width the step programs use (8-24).  Blocks clamp to L, so smaller
     inputs are unaffected.
     """
-    orig_shape = q.shape
-    d = q.shape[-1]
     o, _ = _flash_fwd_impl(q, k, v, scale, block_q, block_k, interpret)
-    return o[..., :d].reshape(orig_shape)
+    return o.reshape(q.shape)
 
 
 def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
-    d = q.shape[-1]
-    o_pad, lse = _flash_fwd_impl(q, k, v, scale, block_q, block_k, interpret)
-    o = o_pad[..., :d].reshape(q.shape)
+    o, lse = _flash_fwd_impl(q, k, v, scale, block_q, block_k, interpret)
+    o = o.reshape(q.shape)
     return o, (q, k, v, o, lse)
 
 

@@ -153,13 +153,15 @@ def _corr_pallas(qe, ke, qb, kb, inpaint, background, row_mask, scale, interpret
     l = qb.shape[1]
     lk = ke.shape[1]
 
-    d_pad = ((d + 127) // 128) * 128
+    # Head dim stays NATIVE (40/80/160): the MXU pads its contraction wave
+    # either way, but HBM-padding d to 128 materialized 3.2x the bytes at
+    # the 64^2 layers.  Only the key SEQUENCE axis is padded (cross keys are
+    # Lk=77; masked by col_ok in-kernel).
     lk_pad = ((lk + 127) // 128) * 128
-    pad_d = lambda t: _pad_to(t, 2, 128)
-    qe_p = pad_d(qe)
-    qb_p = pad_d(qb)
-    ke_p = _pad_to(pad_d(ke), 1, 128)
-    kb_p = _pad_to(pad_d(kb), 1, 128)
+    qe_p = qe
+    qb_p = qb
+    ke_p = _pad_to(ke, 1, 128)
+    kb_p = _pad_to(kb, 1, 128)
     # pad the inpaint-row axis to the sublane multiple; padded rows produce
     # garbage maxima that the caller's row mask zeroes out of the loss
     qe_p = _pad_to(qe_p, 1, 8)
@@ -193,10 +195,10 @@ def _corr_pallas(qe, ke, qb, kb, inpaint, background, row_mask, scale, interpret
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, bi, d_pad), lambda h_, i, j, k, s: (h_, i, 0)),
-                pl.BlockSpec((1, bk, d_pad), lambda h_, i, j, k, s: (h_, k, 0)),
-                pl.BlockSpec((1, bj, d_pad), lambda h_, i, j, k, s: (h_, j, 0)),
-                pl.BlockSpec((1, bk, d_pad), lambda h_, i, j, k, s: (h_, k, 0)),
+                pl.BlockSpec((1, bi, d), lambda h_, i, j, k, s: (h_, i, 0)),
+                pl.BlockSpec((1, bk, d), lambda h_, i, j, k, s: (h_, k, 0)),
+                pl.BlockSpec((1, bj, d), lambda h_, i, j, k, s: (h_, j, 0)),
+                pl.BlockSpec((1, bk, d), lambda h_, i, j, k, s: (h_, k, 0)),
                 pl.BlockSpec((1, bj), lambda h_, i, j, k, s: (0, j)),
                 pl.BlockSpec((1, bj), lambda h_, i, j, k, s: (0, j)),
             ],
@@ -422,13 +424,12 @@ def _corr_bwd_pallas(qe, ke, kb, q_sel_in, q_sel_bg, g_in, g_bg, row_mask,
                      scale, interpret):
     h, k_rows, d = qe.shape
     lk = ke.shape[1]
-    d_pad = ((d + 127) // 128) * 128
-    pad_d = lambda t: _pad_to(t, 2, 128)
-    qe_p = _pad_to(pad_d(qe), 1, 8)
-    qin_p = _pad_to(pad_d(q_sel_in), 1, 8)
-    qbg_p = _pad_to(pad_d(q_sel_bg), 1, 8)
-    ke_p = _pad_to(pad_d(ke), 1, 128)
-    kb_p = _pad_to(pad_d(kb), 1, 128)
+    # head dim stays native (see _corr_pallas): only sequence axes are padded
+    qe_p = _pad_to(qe, 1, 8)
+    qin_p = _pad_to(q_sel_in, 1, 8)
+    qbg_p = _pad_to(q_sel_bg, 1, 8)
+    ke_p = _pad_to(ke, 1, 128)
+    kb_p = _pad_to(kb, 1, 128)
     kp = qe_p.shape[1]
     lkp = ke_p.shape[1]
 
@@ -454,23 +455,23 @@ def _corr_bwd_pallas(qe, ke, kb, q_sel_in, q_sel_bg, g_in, g_bg, row_mask,
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, bi, d_pad), lambda h_, i, s: (h_, i, 0)),
-                pl.BlockSpec((1, lkp, d_pad), lambda h_, i, s: (h_, 0, 0)),
-                pl.BlockSpec((1, bi, d_pad), lambda h_, i, s: (h_, i, 0)),
-                pl.BlockSpec((1, bi, d_pad), lambda h_, i, s: (h_, i, 0)),
-                pl.BlockSpec((1, lkp, d_pad), lambda h_, i, s: (h_, 0, 0)),
+                pl.BlockSpec((1, bi, d), lambda h_, i, s: (h_, i, 0)),
+                pl.BlockSpec((1, lkp, d), lambda h_, i, s: (h_, 0, 0)),
+                pl.BlockSpec((1, bi, d), lambda h_, i, s: (h_, i, 0)),
+                pl.BlockSpec((1, bi, d), lambda h_, i, s: (h_, i, 0)),
+                pl.BlockSpec((1, lkp, d), lambda h_, i, s: (h_, 0, 0)),
                 pl.BlockSpec((1, bi, 1), lambda h_, i, s: (h_, i, 0)),
                 pl.BlockSpec((1, bi, 1), lambda h_, i, s: (h_, i, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((1, bi, d_pad), lambda h_, i, s: (h_, i, 0)),
-                pl.BlockSpec((1, lkp, d_pad), lambda h_, i, s: (h_, 0, 0)),
+                pl.BlockSpec((1, bi, d), lambda h_, i, s: (h_, i, 0)),
+                pl.BlockSpec((1, lkp, d), lambda h_, i, s: (h_, 0, 0)),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((h, kp, d_pad), jnp.float32),
-            jax.ShapeDtypeStruct((h, lkp, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((h, kp, d), jnp.float32),
+            jax.ShapeDtypeStruct((h, lkp, d), jnp.float32),
         ],
         interpret=interpret,
     )(active, qe_p, ke_p, qin_p, qbg_p, kb_p, gi, gb)
-    return d_qe[:, :k_rows, :d].astype(qe.dtype), d_ke[:, :lk, :d].astype(ke.dtype)
+    return d_qe[:, :k_rows].astype(qe.dtype), d_ke[:, :lk].astype(ke.dtype)
