@@ -413,10 +413,20 @@ def _editor_stream(
             is_cross, sim=sim, movement=movement, removal=removal, smoothness=smooth, amodal=amodal
         )
 
-    # Attention sharing vs diffusion correction (attention_processors.py:502-508)
+    # Attention sharing vs diffusion correction (attention_processors.py:502-508).
+    # With a static phase flag the untaken side is deleted at compile time
+    # (past the obj-edit step the query warp + shared attention feed nothing
+    # when losses are off); None falls back to the traced select.
+    if state.past_obj_edit is True and not state.compute_losses:
+        return replace_out, loss, logs
     m_e = ms.mask_new_warped[None, :, None].astype(replace_out.dtype)
     shared = sg(edit_out) * m_e + replace_out * (1.0 - m_e)
-    out = jnp.where(state.cur_step < state.obj_edit_thresh, shared, replace_out)
+    if state.past_obj_edit is True:
+        out = replace_out
+    elif state.past_obj_edit is False:
+        out = shared
+    else:
+        out = jnp.where(state.cur_step < state.obj_edit_thresh, shared, replace_out)
     return out, loss, logs
 
 
@@ -464,9 +474,14 @@ def _remover_stream(
         m_bg = ms.background[None, :, None].astype(replace_out.dtype)
         return replace_out * m_in + replace_out * m_bg
 
-    out = jax.lax.cond(
-        state.cur_step < state.obj_edit_thresh, without_identity, with_identity, None
-    )
+    if state.past_obj_edit is True:
+        out = with_identity(None)
+    elif state.past_obj_edit is False:
+        out = without_identity(None)
+    else:
+        out = jax.lax.cond(
+            state.cur_step < state.obj_edit_thresh, without_identity, with_identity, None
+        )
     return out, loss, logs
 
 
@@ -527,8 +542,10 @@ def edited_attention(
             zero_logs(),
         )
 
-    if is_cross:
+    if is_cross or state.self_window is True:
         out_e, loss, logs = do_edit(None)
+    elif state.self_window is False:
+        out_e, loss, logs = no_edit(None)
     else:
         in_window = (state.self_replace_lo <= state.cur_step) & (
             state.cur_step < state.self_replace_hi

@@ -146,6 +146,23 @@ def test_inversion_cache_roundtrip(pipe, scene, tmp_path):
     sess_g = EditSession(pipe, EditConfig(num_ddim_steps=3, guidance_scale=9.0))
     assert sess_g.inversion_key(image, "a thing") != key_a  # key only; no run
 
+    # the weights probe samples MANY leaves: perturbing a deep (non-first)
+    # UNet leaf must change the key (VERDICT r3 weak #7)
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(pipe.params["unet"])
+    mid = len(leaves) // 2
+    leaves2 = list(leaves)
+    leaves2[mid] = leaves2[mid] + 1.0
+    import dataclasses as _dc
+
+    pipe_swap = _dc.replace(
+        pipe, params={**pipe.params,
+                      "unet": jax.tree_util.tree_unflatten(treedef, leaves2)},
+    )
+    sess_swap = EditSession(pipe_swap, cfg)
+    assert sess_swap.inversion_key(image, "a thing") != key_a
+
     # cache_inversion=False bypasses everything (no file written).  Only the
     # runtime flag differs, so the already-compiled programs are reused.
     import dataclasses
