@@ -115,7 +115,7 @@ def run_folder_sweep(
     num_ddim_steps: int = 50,
     image_size: int = 512,
     skip_existing: bool = True,
-    group_size: int = 0,
+    group_size: Optional[int] = None,
     limit: Optional[int] = None,
     pipe=None,
     config_overrides: Optional[Dict] = None,
@@ -134,7 +134,14 @@ def run_folder_sweep(
     from geodiffuser_tpu.core.editor import EditSession
     from geodiffuser_tpu.core.pipeline import Pipeline
     from geodiffuser_tpu.parallel.batch import ShardedEditSession
-    from geodiffuser_tpu.parallel.sharding import make_mesh
+    from geodiffuser_tpu.parallel.sharding import auto_group_size, make_mesh
+
+    if group_size is None:
+        # default: measured throughput-optimal packing on TPU (E=4/chip on a
+        # 16 GB v5e at 512^2, PARITY §7b), sequential elsewhere
+        group_size = auto_group_size(image_size)
+        if group_size > 1:
+            log.info("auto group size: %d (per-chip packing x devices)", group_size)
 
     if pipe is None:
         mcfg = ModelConfig(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
@@ -154,6 +161,18 @@ def run_folder_sweep(
         todo.append((edit_type, folder))
         if limit and len(todo) >= limit:
             break
+
+    # multi-host: each process sweeps its round-robin share on local chips
+    # (sharding.maybe_initialize_distributed in main(); no DCN traffic in
+    # steady state — edits are independent)
+    import jax
+
+    if jax.process_count() > 1:
+        from geodiffuser_tpu.parallel.sharding import partition_for_process
+
+        todo = partition_for_process(todo)
+        log.info("process %d/%d: %d experiments assigned",
+                 jax.process_index(), jax.process_count(), len(todo))
 
     def edit_inputs(edit_type: str, exp, cfg):
         """(image, depth, mask, transform) for the session.  Stitch
@@ -179,14 +198,15 @@ def run_folder_sweep(
                 cfg = _dc.replace(cfg, **config_overrides)
             if group_size > 1:
                 # dp must divide the edit batch: largest divisor of
-                # group_size that fits the device count
+                # group_size that fits the LOCAL device count (each process
+                # runs its own sweep share on its own chips)
                 import jax
 
-                n_dev = len(jax.devices())
-                n_dp = max(d for d in range(1, min(group_size, n_dev) + 1)
+                local = jax.local_devices()
+                n_dp = max(d for d in range(1, min(group_size, len(local)) + 1)
                            if group_size % d == 0)
                 sessions[edit_type] = ShardedEditSession(
-                    pipe, cfg, mesh=make_mesh(n_dp=n_dp)
+                    pipe, cfg, mesh=make_mesh(n_dp=n_dp, devices=local[:n_dp])
                 )
             else:
                 sessions[edit_type] = EditSession(pipe, cfg)
@@ -247,14 +267,19 @@ def main():
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--size", type=int, default=512)
-    ap.add_argument("--group-size", type=int, default=0,
-                    help=">1 enables lockstep sharded execution over the mesh")
+    ap.add_argument("--group-size", type=int, default=None,
+                    help="lockstep group; default: auto (measured per-chip "
+                         "packing x device count on TPU, sequential elsewhere);"
+                         " 0/1 forces the sequential path")
     ap.add_argument("--no-skip-existing", action="store_true")
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--no-native", action="store_true",
                     help="force the synchronous Python experiment reader")
     args = ap.parse_args()
     logging.basicConfig(level=logging.INFO)
+    from geodiffuser_tpu.parallel.sharding import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     times = run_folder_sweep(
         args.exp_root,
         checkpoint_dir=args.checkpoint_dir,

@@ -35,6 +35,126 @@ def test_mesh_shapes():
     assert mesh2.shape == {"dp": 4, "tp": 2}
 
 
+class _FakeDevice:
+    def __init__(self, platform, kind, bytes_limit=None):
+        self.platform = platform
+        self.device_kind = kind
+        self._limit = bytes_limit
+
+    def memory_stats(self):
+        return {"bytes_limit": self._limit} if self._limit else {}
+
+
+@pytest.mark.fast
+def test_auto_group_size():
+    """The driver's default packing (VERDICT r3 next-#4): E=4/chip on a
+    16 GB v5e at 512^2 (the measured optimum, PARITY §7b), tabled by chip
+    generation, sequential (0) off-TPU."""
+    v5e = _FakeDevice("tpu", "TPU v5 lite")          # axon: empty memory_stats
+    assert sh.device_hbm_gib(v5e) == 16.0
+    assert sh.auto_group_size(512, [v5e]) == 4
+    assert sh.auto_group_size(512, [v5e] * 8) == 32   # v5e-8 pod slice
+    assert sh.auto_group_size(256, [v5e]) == 8        # quarter activations: 2x
+    # reported bytes_limit wins over the kind table
+    small = _FakeDevice("tpu", "TPU v5 lite", bytes_limit=int(8.5 * 2**30))
+    assert sh.auto_group_size(512, [small]) == 2
+    v5p = _FakeDevice("tpu", "TPU v5")
+    assert sh.auto_group_size(512, [v5p, v5p]) == 8
+    unknown_tpu = _FakeDevice("tpu", "TPU v9 hyper")
+    assert sh.auto_group_size(512, [unknown_tpu]) == 4   # assume 16 GiB
+    # CPU test meshes keep the sequential driver path
+    cpu = _FakeDevice("cpu", "cpu")
+    assert sh.device_hbm_gib(cpu) is None
+    assert sh.auto_group_size(512, [cpu] * 8) == 0
+
+
+@pytest.mark.fast
+def test_multihost_partition_and_launch(monkeypatch):
+    """Multi-host surface (VERDICT r3 missing #3 / SURVEY §2.4 DCN launch):
+    round-robin sweep partition by process index, and the env-triggered
+    jax.distributed wiring is a no-op at processes=1 with no trigger env.
+    True multi-process DCN launch needs >1 host; the partition + local-mesh
+    wiring is what each process runs, exercised here at processes=1."""
+    items = [f"exp{i}" for i in range(10)]
+    assert sh.partition_for_process(items, n_proc=1, pid=0) == items
+    shares = [sh.partition_for_process(items, n_proc=4, pid=p) for p in range(4)]
+    assert sorted(x for s in shares for x in s) == sorted(items)   # exact cover
+    assert max(len(s) for s in shares) - min(len(s) for s in shares) <= 1
+    assert shares[1] == ["exp1", "exp5", "exp9"]                    # round-robin
+    # defaults read the live process view (single-process here)
+    assert sh.partition_for_process(items) == items
+
+    for var in ("GEODIFF_COORDINATOR", "GEODIFF_NUM_PROCESSES",
+                "GEODIFF_PROCESS_ID", "GEODIFF_AUTO_DISTRIBUTED"):
+        monkeypatch.delenv(var, raising=False)
+    assert sh.maybe_initialize_distributed() is False
+
+    # the explicit trigger routes into jax.distributed.initialize with the
+    # env-supplied topology (initialize itself needs real peer hosts)
+    calls = {}
+    monkeypatch.setattr(sh.jax.distributed, "initialize",
+                        lambda **kw: calls.update(kw))
+    monkeypatch.setenv("GEODIFF_COORDINATOR", "host0:8476")
+    monkeypatch.setenv("GEODIFF_NUM_PROCESSES", "4")
+    monkeypatch.setenv("GEODIFF_PROCESS_ID", "2")
+    monkeypatch.setattr(sh, "_DIST_INITIALIZED", False)
+    sh.maybe_initialize_distributed()
+    assert calls == {"coordinator_address": "host0:8476",
+                     "num_processes": 4, "process_id": 2}
+    monkeypatch.setattr(sh, "_DIST_INITIALIZED", False)
+
+
+@pytest.mark.fast
+def test_driver_partitions_sweep_by_process(tmp_path, monkeypatch):
+    """run_folder_sweep processes only this process's share of the tree when
+    jax reports multiple processes."""
+    from geodiffuser_tpu.parallel import driver
+
+    size = SIZE
+    rng = np.random.RandomState(0)
+    yy, xx = np.mgrid[0:size, 0:size]
+    mask = (((xx - 25) ** 2 + (yy - 35) ** 2) < 12 ** 2).astype(np.float32)
+    for i in range(4):
+        exp_io.save_exp(
+            str(tmp_path / "Translation_2D" / str(i)),
+            (rng.rand(size, size, 3) * 255).astype(np.uint8),
+            np.full((size, size), 0.5, np.float32), mask,
+            camera.compose_transform(tx=0.03), image_shape=(size, size),
+        )
+    import jax
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    pipe = Pipeline.create(ModelConfig.tiny(), image_size=size)
+    times = driver.run_folder_sweep(
+        str(tmp_path), image_size=size, pipe=pipe,
+        config_overrides=dict(num_ddim_steps=2, skip_optim_steps=1),
+        num_ddim_steps=2, use_native=False,
+    )
+    done = sorted(os.path.basename(f) for f in times)
+    assert done == ["1", "3"]   # process 1 of 2, round-robin
+
+
+@pytest.mark.fast
+def test_driver_default_group_is_sequential_on_cpu(tmp_path, monkeypatch):
+    """run_folder_sweep's group_size default resolves through
+    auto_group_size; on this CPU test mesh that is the sequential path, on
+    a fake TPU it is the packed lockstep group."""
+    from geodiffuser_tpu.parallel import driver, sharding
+
+    seen = {}
+
+    def fake_auto(image_size, devices=None):
+        seen["called_with"] = image_size
+        return 0
+
+    monkeypatch.setattr(sharding, "auto_group_size", fake_auto)
+    # empty tree: the sweep resolves group size then finds nothing to do
+    times = driver.run_folder_sweep(str(tmp_path), pipe=object())
+    assert times == {}
+    assert seen["called_with"] == 512
+
+
 def test_sharded_batch_edit_runs_and_is_sharded():
     import jax
 
