@@ -64,10 +64,14 @@ class Pipeline:
         ctx = jnp.zeros((1, config.text_max_length, config.cross_attention_dim))
         img = jnp.zeros((1, 32, 32, 3))
         ids = jnp.zeros((1, config.text_max_length), jnp.int32)
+        # jit the inits: eager flax init dispatches thousands of tiny ops
+        # one-by-one (~ms each through the axon device tunnel -> ~320 s for
+        # the UNet alone); one jitted program is ~56 s cold and ~s from the
+        # persistent compile cache
         params = {
-            "unet": unet.init(k1, sample, jnp.int32(0), ctx),
-            "vae": vae.init(k2, img),
-            "text": text.init(k3, ids),
+            "unet": jax.jit(unet.init)(k1, sample, jnp.int32(0), ctx),
+            "vae": jax.jit(vae.init)(k2, img),
+            "text": jax.jit(text.init)(k3, ids),
         }
         if checkpoint_dir:
             from geodiffuser_tpu.models import weights as weights_lib
