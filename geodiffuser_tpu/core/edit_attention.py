@@ -122,6 +122,11 @@ def fast_attention(
     return vanilla_attention(q, k, v, scale)
 
 
+def _gather_rows(x: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
+    """(H, L, D)[:, rows] as one gather."""
+    return jnp.take(x, rows, axis=1)
+
+
 # ---------------------------------------------------------------------------
 # Losses (all fp32; masks are flattened (L,) floats)
 # ---------------------------------------------------------------------------
@@ -323,6 +328,33 @@ def _warp_queries(q_base: jnp.ndarray, ms: MaskSet, state: EditState) -> jnp.nda
     return sg(out.reshape(l, h, d).transpose(1, 0, 2).astype(q_base.dtype))
 
 
+def _warp_queries_rows(
+    q_base: jnp.ndarray, ms: MaskSet, state: EditState, rows: jnp.ndarray
+) -> jnp.ndarray:
+    """`_warp_queries` restricted to a static row budget: the warp operator's
+    rows are gathered BEFORE the matmul, so the splat costs K/L of the full
+    apply.  Returns (H, K, D), detached."""
+    h, l, d = q_base.shape
+    res = int(math.isqrt(l))
+    q_flat = q_base.transpose(1, 0, 2).reshape(l, h * d)
+    if state.warp_mats is not None and res in state.warp_mats:
+        w_rows = jnp.take(state.warp_mats[res], rows, axis=0)       # (K, L)
+        q_warp = jnp.dot(
+            w_rows.astype(q_flat.dtype), q_flat,
+            preferred_element_type=jnp.float32,
+        )                                                           # (K, H*D)
+    else:
+        q_img = q_flat.reshape(res, res, h * d)
+        q_warp = splat_ops.splat_image(
+            q_img.astype(jnp.float32), ms.t_coords, radius=state.splat_radius,
+            tau=state.splat_tau, z_beta=state.z_beta,
+        ).reshape(l, h * d)[rows]
+    m = ms.mask_new_warped[rows][:, None]
+    out = q_flat[rows].astype(jnp.float32) * (1.0 - m) + m * q_warp.astype(jnp.float32)
+    k = rows.shape[0]
+    return sg(out.reshape(k, h, d).transpose(1, 0, 2).astype(q_base.dtype))
+
+
 def _constraint_bias(ms: MaskSet, lk: int) -> jnp.ndarray:
     """Additive -1000 bias implementing the *intended* self-attention
     constraints of compute_attention (attention_sharing.py:37-42)."""
@@ -359,14 +391,38 @@ def _editor_stream(
     q_b, k_b, v_b = sg(q[b_i]), sg(k[b_i]), sg(v[b_i])
     q_e = q[e_i]
 
+    # Live edit-stream keys: self uses base keys, cross uses edit keys
+    # (attention_processors.py:432,555); values always from the base stream.
+    k_r = k[e_i] if is_cross else k_b
+
+    # No-loss blend fast path (CFG steps): the detached shared-attention
+    # output feeds `shared = edit_out*m + replace_out*(1-m)` only where the
+    # warped mask is positive, so both the query warp and its attention run
+    # over the static warped-row budget (seq//4) instead of all rows.  The
+    # host selects the exact full-row variant (full_blend=True) whenever a
+    # resolution's warped_overflow fires — identical math in either case.
+    if (
+        not state.compute_losses
+        and state.past_obj_edit is False
+        and not state.full_blend
+        and ms.warped_rows is not None
+        and not state.apply_constraints
+    ):
+        rows = ms.warped_rows
+        q_eb_rows = _warp_queries_rows(q_b, ms, state, rows)
+        edit_rows = sg(fast_attention(q_eb_rows, k_b, v_b, scale, allow_flash=True))
+        replace_out = fast_attention(q_e, k_r, v_b, scale, allow_flash=True)
+        rep_rows = _gather_rows(replace_out, rows)
+        m_rows = ms.mask_new_warped[rows][None, :, None].astype(replace_out.dtype)
+        # padded budget rows carry mask weight 0 -> the blend is a no-op there
+        blend = edit_rows.astype(replace_out.dtype) * m_rows + rep_rows * (1.0 - m_rows)
+        out = replace_out.at[:, rows].set(blend)
+        return out, jnp.float32(0.0), zero_logs()
+
     # Shared (reference-warped) attention output — fully detached.  The
     # query field is warped spatially for both self and cross layers
     # (keys are text tokens in the cross case).
     q_eb = _warp_queries(q_b, ms, state)
-
-    # Live edit-stream keys: self uses base keys, cross uses edit keys
-    # (attention_processors.py:432,555); values always from the base stream.
-    k_r = k[e_i] if is_cross else k_b
     # Outputs go through flash in BOTH passes (forward and backward are real
     # Pallas kernels); the removal loss routes through the fused correlation
     # kernel — no attention map is ever materialized on the default path.

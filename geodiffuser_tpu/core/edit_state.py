@@ -77,6 +77,14 @@ class MaskSet(flax.struct.PyTreeNode):
     # 1.0 when the inpaint mask exceeds the static row budget (rows dropped,
     # loss silently shrinks) — the host loop warns on it (editor.run)
     inpaint_overflow: Optional[jnp.ndarray] = None  # () scalar
+    # Warped-object row budget for the no-loss attention-sharing blend: on
+    # CFG steps (losses off) the detached shared-attention output feeds the
+    # blend only where mask_new_warped > 0, so the edit stream computes it
+    # for just these rows (seq//4 budget).  warped_overflow=1.0 -> the host
+    # falls back to the full-blend program variant (exact at any mask size).
+    warped_rows: Optional[jnp.ndarray] = None      # (seq//4,)
+    warped_row_mask: Optional[jnp.ndarray] = None  # (seq//4,)
+    warped_overflow: Optional[jnp.ndarray] = None  # () scalar
 
 
 @jax.tree_util.register_pytree_node_class
@@ -148,6 +156,11 @@ class EditState(flax.struct.PyTreeNode):
     # warp + shared attention feeding only the pre-correction blend).
     self_window: Optional[bool] = flax.struct.field(pytree_node=False, default=None)
     past_obj_edit: Optional[bool] = flax.struct.field(pytree_node=False, default=None)
+    # True -> compute the no-loss attention-sharing blend over ALL rows
+    # (exact for any warped-mask size); False (default) -> the edit stream
+    # computes the detached shared output only for the warped_rows budget.
+    # The host sets True per edit when any resolution's warped_overflow fires.
+    full_blend: bool = flax.struct.field(pytree_node=False, default=False)
 
     @property
     def n_vanilla_streams(self) -> int:
@@ -269,6 +282,7 @@ def build_mask_sets(
         pos = coordinate_positions(res) if is_loss_res else None
         dist = coordinate_distance_grid(res) if is_loss_res else None
         interp_idx = interp_vals = interp_w = rows = row_mask = overflow = None
+        wrows = wrow_mask = woverflow = None
         inpaint_flat = inpaint.reshape(-1)
         if is_loss_res:
             # amodal interpolation sources (attention_sharing.py:67-105):
@@ -289,6 +303,13 @@ def build_mask_sets(
             row_vals, rows = jax.lax.top_k(inpaint_flat, k)
             row_mask = (row_vals > 0.5).astype(jnp.float32)
             overflow = (inpaint_flat.sum() > k).astype(jnp.float32)
+            # warped-object rows for the no-loss blend (fractional mask:
+            # every row with any warped-mask weight participates)
+            m_new_flat = m_new.reshape(-1)
+            kw = seq // 4
+            wvals, wrows = jax.lax.top_k(m_new_flat, kw)
+            wrow_mask = (wvals > 0.0).astype(jnp.float32)
+            woverflow = ((m_new_flat > 0.0).sum() > kw).astype(jnp.float32)
         out[res] = MaskSet(
             mask_warp=m_warp.reshape(-1),
             mask_new_warped=m_new.reshape(-1),
@@ -304,6 +325,9 @@ def build_mask_sets(
             inpaint_rows=rows,
             inpaint_row_mask=row_mask,
             inpaint_overflow=overflow,
+            warped_rows=wrows,
+            warped_row_mask=wrow_mask,
+            warped_overflow=woverflow,
         )
     return out
 
@@ -336,6 +360,7 @@ def make_edit_state(
     consume_taps: bool = False,
     self_window: Optional[bool] = None,
     past_obj_edit: Optional[bool] = None,
+    full_blend: bool = False,
 ) -> EditState:
     w = weights if weights is not None else cfg.resolved_loss_weights()
     mode = "remover" if cfg.edit_type == "geometry_remover" else "editor"
@@ -366,4 +391,5 @@ def make_edit_state(
         z_beta=cfg.splat.z_beta,
         self_window=self_window,
         past_obj_edit=past_obj_edit,
+        full_blend=full_blend,
     )

@@ -88,10 +88,11 @@ class EditSession:
             )
         )
         _phase = ("self_window", "past_obj")
+        _phase_fb = _phase + ("full_blend",)
         self._optimize_step = jax.jit(self._optimize_step_impl, static_argnames=_phase)
-        self._cfg_step = jax.jit(self._cfg_step_impl, static_argnames=_phase)
-        self._cfg_step_taps = jax.jit(self._cfg_step_taps_impl, static_argnames=_phase)
-        self._cfg_tail = jax.jit(self._cfg_tail_impl, static_argnames=_phase)
+        self._cfg_step = jax.jit(self._cfg_step_impl, static_argnames=_phase_fb)
+        self._cfg_step_taps = jax.jit(self._cfg_step_taps_impl, static_argnames=_phase_fb)
+        self._cfg_tail = jax.jit(self._cfg_tail_impl, static_argnames=_phase_fb)
         self._preprocess = jax.jit(self._preprocess_impl)
         self._warp_mats = jax.jit(
             lambda masks, r, tau: edit_state.build_warp_matrices(
@@ -183,29 +184,45 @@ class EditSession:
         )
         return tf, masks
 
-    def _warn_row_budget(self, masks) -> None:
-        """Loud host-side warning when an inpaint mask exceeds the static
-        removal-loss row budget (rows are dropped; the loss shrinks while its
-        normalization keeps the full mask sum — see edit_state.build_mask_sets)."""
+    def _overflow_vec(self, masks):
+        """(resolutions, flat device vector) of the per-resolution
+        (inpaint_overflow, warped_overflow) flags, for piggybacking onto an
+        existing host fetch — a standalone fetch costs a full tunnel round
+        trip (~1 s/edit on axon)."""
         flags = {
-            res: ms.inpaint_overflow
+            res: (ms.inpaint_overflow, ms.warped_overflow)
             for res, ms in masks.items()
             if ms.inpaint_overflow is not None
         }
         if not flags:
-            return
-        vals = np.asarray(jnp.stack(list(flags.values())))  # one fetch
-        for res, v in zip(flags, vals.reshape(len(flags), -1)):
-            if v.max() > 0.5:
+            return (), None
+        vec = jnp.stack([f for pair in flags.values() for f in pair])
+        return tuple(flags.keys()), vec.astype(jnp.float32)
+
+    def _apply_overflow(self, resolutions, vals) -> bool:
+        """Loud host-side warning when an inpaint mask exceeds the static
+        removal-loss row budget (rows are dropped; the loss shrinks while its
+        normalization keeps the full mask sum — see edit_state.build_mask_sets).
+
+        Returns True when any resolution's WARPED-object mask exceeds the
+        no-loss-blend row budget, in which case the caller must run the exact
+        full-blend CFG program variants (edit_attention._editor_stream)."""
+        full_blend = False
+        vals = np.asarray(vals).reshape(len(resolutions), 2)
+        for res, (inp_of, warp_of) in zip(resolutions, vals):
+            if inp_of > 0.5:
                 log.warning(
                     "inpaint mask at %dx%d exceeds the removal-loss row budget; "
                     "overflow rows are dropped and the removal loss is "
                     "underestimated — shrink the mask or dilation", res, res,
                 )
+            if warp_of > 0.5:
+                full_blend = True
+        return full_blend
 
     def _state(self, masks, i, weights, radius, tau, use_cfg, compute_losses,
                warp_mats=None, slim_cfg=False, consume_taps=False,
-               self_window=None, past_obj=None):
+               self_window=None, past_obj=None, full_blend=False):
         if warp_mats is None:
             warp_mats = edit_state.build_warp_matrices(
                 masks, radius, tau, self.cfg.splat.z_beta
@@ -214,7 +231,7 @@ class EditSession:
             self.cfg, masks, cur_step=i, use_cfg=use_cfg, compute_losses=compute_losses,
             weights=weights, splat_radius=radius, splat_tau=tau, warp_mats=warp_mats,
             slim_cfg=slim_cfg, consume_taps=consume_taps,
-            self_window=self_window, past_obj_edit=past_obj,
+            self_window=self_window, past_obj_edit=past_obj, full_blend=full_blend,
         )
 
     def _phase_flags(self, i: int):
@@ -287,6 +304,7 @@ class EditSession:
     def _cfg_step_impl(
         self, params_unet, latents2, context4, t, masks, i, weights, radius, tau,
         pinned_base, do_replace, warp_mats=None, *, self_window=None, past_obj=None,
+        full_blend=False,
     ):
         """No-grad CFG denoise + pinning + latent warp-replace
         (editor.py:339-403).
@@ -300,7 +318,7 @@ class EditSession:
         state = self._state(masks, i, weights, radius, tau, use_cfg=True,
                             compute_losses=False, warp_mats=warp_mats,
                             slim_cfg=True, self_window=self_window,
-                            past_obj=past_obj)
+                            past_obj=past_obj, full_blend=full_blend)
         lat_e = latents2[1]
         latents_in = jnp.stack([lat_e, latents2[0], lat_e])
         ctx3 = jnp.stack([context4[1], context4[2], context4[3]])
@@ -311,6 +329,7 @@ class EditSession:
     def _cfg_step_taps_impl(
         self, params_unet, latents2, context4, t, masks, i, weights, radius, tau,
         pinned_base, do_replace, warp_mats, taps, *, self_window=None, past_obj=None,
+        full_blend=False,
     ):
         """CFG step variant for optimize steps: the cond_base stream's eps is
         unused under slim CFG (trajectory pinning) and its only role —
@@ -321,7 +340,8 @@ class EditSession:
         state = self._state(masks, i, weights, radius, tau, use_cfg=True,
                             compute_losses=False, warp_mats=warp_mats,
                             slim_cfg=True, consume_taps=True,
-                            self_window=self_window, past_obj=past_obj)
+                            self_window=self_window, past_obj=past_obj,
+                            full_blend=full_blend)
         lat_e = latents2[1]
         latents_in = jnp.stack([lat_e, lat_e])
         ctx2 = jnp.stack([context4[1], context4[3]])
@@ -354,7 +374,7 @@ class EditSession:
 
     def _cfg_tail_impl(
         self, params_unet, latents2, context4, masks, ts, is_, radii, taus, pinned_stack, weights,
-        warp_mats, *, self_window=None, past_obj=None,
+        warp_mats, *, self_window=None, past_obj=None, full_blend=False,
     ):
         """All trailing CFG-only steps (past the optimize and latent-replace
         windows) fused into one lax.scan — one dispatch for the whole tail.
@@ -371,7 +391,7 @@ class EditSession:
             lat = self._cfg_step_impl(
                 params_unet, lat, context4, t, masks, i, weights, r, tau,
                 pinned, jnp.bool_(False), warp_mats,
-                self_window=self_window, past_obj=past_obj,
+                self_window=self_window, past_obj=past_obj, full_blend=full_blend,
             )
             return lat, None
 
@@ -572,9 +592,10 @@ class EditSession:
 
         # --- preprocessing: transform field + masks (one compiled program)
         tf, masks = self._preprocess(image_j, depth_j, mask_j, transform_j)
-        # NOTE: the row-budget warning (_warn_row_budget) is emitted after the
-        # edit loop — fetching the overflow flag here would force a host sync
-        # on the critical path (~1 s/edit through the axon tunnel)
+        # Row-budget overflow flags ride along with the inversion sync fetch
+        # below — a standalone fetch here would cost a full tunnel round trip
+        # (~1 s/edit on axon)
+        of_res, of_vec = self._overflow_vec(masks)
 
         # --- text + image encoders
         ctx_cond = self.pipeline.encode_text([prompt])
@@ -591,14 +612,26 @@ class EditSession:
         all_latents = (
             self._inv_cache_get(inv_key, exp_folder) if inv_key is not None else None
         )
+        full_blend = False
         if all_latents is None:
             invert_fn = self._invert_cfg_free if prompt == cfg.uncond_text else self._invert
             all_latents, _ = invert_fn(
                 self.pipeline.params["unet"], latent0, ctx_uncond, ctx_cond
             )
-            _ = np.asarray(all_latents[0, 0, 0, 0, :1])  # axon: fetch forces sync
+            # axon: ONE packed fetch forces the sync AND carries the
+            # row-budget overflow flags (no extra round trip)
+            probe = all_latents[0, 0, 0, 0, :1].astype(jnp.float32)
+            if of_vec is not None:
+                packed = np.asarray(jnp.concatenate([probe, of_vec]))
+                full_blend = self._apply_overflow(of_res, packed[1:])
+            else:
+                _ = np.asarray(probe)
             if inv_key is not None:
                 self._inv_cache_put(inv_key, all_latents, exp_folder)
+        elif of_vec is not None:
+            # cached-inversion re-edit (UI knob iteration): the flags are the
+            # only pre-loop fetch — one round trip on the already-short path
+            full_blend = self._apply_overflow(of_res, np.asarray(of_vec))
         timings["inversion"] = time.time() - t_inv
 
         # --- optional null-text optimization (perform_inversion,
@@ -777,13 +810,13 @@ class EditSession:
                 latents2 = self._cfg_step_taps(
                     self.pipeline.params["unet"], latents2, context4, t_j,
                     masks, i_j, wa, r_j, tau_j, pinned, do_replace, wm, taps,
-                    self_window=win_j, past_obj=obj_j,
+                    self_window=win_j, past_obj=obj_j, full_blend=full_blend,
                 )
             else:
                 latents2 = self._cfg_step(
                     self.pipeline.params["unet"], latents2, context4, t_j,
                     masks, i_j, wa, r_j, tau_j, pinned, do_replace, wm,
-                    self_window=win_j, past_obj=obj_j,
+                    self_window=win_j, past_obj=obj_j, full_blend=full_blend,
                 )
 
         if tail_start < n:
@@ -812,7 +845,7 @@ class EditSession:
                     pinned_stack,
                     weight_arrays(weights),
                     wm_cache[wm_key],
-                    self_window=win_j, past_obj=obj_j,
+                    self_window=win_j, past_obj=obj_j, full_blend=full_blend,
                 )
 
         drain_logs()  # last optimize step's logs (overlaps the tail scan)
@@ -820,7 +853,6 @@ class EditSession:
         # before execution finishes; a tiny device_get drains the FIFO queue
         _ = np.asarray(latents2[0, 0, 0, :1])
         timings["edit_loop"] = time.time() - t_loop
-        self._warn_row_budget(masks)
 
         # --- decode + histogram-matching post-process (editor.py:660-694).
         # One jitted bundle + one device_get: separate np.asarray fetches of

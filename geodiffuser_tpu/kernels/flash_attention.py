@@ -312,6 +312,8 @@ flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
 def use_flash(lq: int, lk: int) -> bool:
-    """Flash pays off when the map is large and square-ish (self-attention
-    at >= 32^2); cross attention (Lk=77) has no L^2 term to save."""
-    return lq == lk and lq >= 1024 and lq % 256 == 0
+    """Flash pays off when the key sequence is large (self-attention at
+    >= 32^2); cross attention (Lk=77) has no L^2 term to save.  Rectangular
+    maps (the warped-row blend computes the shared output for a seq//4 row
+    budget against the full key set) qualify whenever both axes tile."""
+    return lk >= 1024 and lk % 256 == 0 and lq >= 256 and lq % 256 == 0

@@ -51,12 +51,17 @@ sgd = optimization.init_sgd_state(lat2[1], ctx4[3])
 params = pipe.params["unet"]
 wm = sess._warp_mats(masks, np.float32(1.0), np.float32(0.5))
 
+# Profile the static-phase variants the run() loop actually dispatches
+# (self_window/past_obj compiled as constants — no per-layer lax.conds);
+# the early-window phase (w=1, o=0) is where the optimize steps live.
 run_cfg = lambda: sess._cfg_step(
     params, lat2, ctx4, np.int32(500), masks, np.int32(10), w,
-    np.float32(1.0), np.float32(0.5), lat0, np.bool_(False), wm)
+    np.float32(1.0), np.float32(0.5), lat0, np.bool_(False), wm,
+    self_window=True, past_obj=False)
 run_opt = lambda: sess._optimize_step(
     params, lat2, ctx4, np.int32(500), masks, np.int32(10), w,
-    np.float32(1.0), np.float32(0.5), np.float32(3.0), sgd, wm)[3]
+    np.float32(1.0), np.float32(0.5), np.float32(3.0), sgd, wm,
+    self_window=True, past_obj=False)[3]
 
 # warm up
 sync(run_cfg())
