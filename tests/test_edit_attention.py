@@ -129,6 +129,44 @@ def test_cross_attention_edits_at_every_step(masks):
     assert float(jnp.abs(out[3] - ref[3]).max()) > 1e-4
 
 
+def test_warped_row_blend_matches_full(masks):
+    """The no-loss CFG fast path (shared-attention blend restricted to the
+    static warped-row budget) must be numerically identical to the full-row
+    variant (full_blend=True) — the host falls back to the latter only when
+    warped_overflow fires (edit_attention._editor_stream)."""
+    assert masks[RES].warped_rows is not None
+    assert float(masks[RES].warped_overflow) == 0.0  # fixture mask fits
+    q, k, v = _qkv(jax.random.PRNGKey(9), 4)
+    kw = dict(cur_step=3, use_cfg=True, compute_losses=False,
+              self_window=True, past_obj_edit=False)
+    st_fast = _state(masks, **kw)
+    st_full = _state(masks, full_blend=True, **kw)
+    assert not st_fast.full_blend and st_full.full_blend
+    for is_cross in (False, True):
+        qkv = _qkv(jax.random.PRNGKey(10), 4, lk=77) if is_cross else (q, k, v)
+        out_f, loss_f, _ = edit_attention.edited_attention(
+            *qkv, is_cross=is_cross, state=st_fast, scale=0.35)
+        out_r, loss_r, _ = edit_attention.edited_attention(
+            *qkv, is_cross=is_cross, state=st_full, scale=0.35)
+        np.testing.assert_allclose(
+            np.asarray(out_f), np.asarray(out_r), atol=2e-5, rtol=1e-4,
+            err_msg=f"is_cross={is_cross}")
+        assert float(loss_f) == float(loss_r) == 0.0
+
+
+def test_warped_overflow_flag_fires():
+    """A warped mask larger than the seq//4 row budget must raise
+    warped_overflow so the host switches to the exact full-blend programs."""
+    mask = jnp.zeros((H, W)).at[20:236, 20:236].set(1.0)  # most of the image
+    tc = camera.identity_field(H, W)
+    ms = edit_state.build_mask_sets(mask, tc, mask, resolutions=(RES, 16, 8, 4))
+    assert float(ms[RES].warped_overflow) == 1.0
+    # and the fixture-size mask does not
+    small = jnp.zeros((H, W)).at[100:160, 100:160].set(1.0)
+    ms2 = edit_state.build_mask_sets(small, tc, small, resolutions=(RES, 16, 8, 4))
+    assert float(ms2[RES].warped_overflow) == 0.0
+
+
 def test_unet_grad_flows_only_to_edit_stream(masks):
     """End-to-end through the tiny UNet: grad of the edit loss w.r.t. the
     input latents is zero for the base stream."""

@@ -78,8 +78,25 @@ def test_flash_backward_rectangular():
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=5e-4, rtol=1e-3)
 
 
+def test_flash_forward_rectangular_short_q():
+    """Lq < Lk — the warped-row CFG blend computes the shared output for a
+    seq//4 row budget against the full key set (edit_attention._editor_stream)."""
+    rng = np.random.RandomState(4)
+    q = jnp.asarray(rng.randn(2, 2, 256, 40), jnp.float32)
+    k = jnp.asarray(rng.randn(2, 2, 1024, 40), jnp.float32)
+    v = jnp.asarray(rng.randn(2, 2, 1024, 40), jnp.float32)
+    scale = 0.158
+    ref = edit_attention.vanilla_attention(q, k, v, scale)
+    out = fa.flash_attention(q, k, v, scale, block_q=256, block_k=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
 def test_use_flash_routing():
     assert fa.use_flash(4096, 4096)
     assert fa.use_flash(1024, 1024)
     assert not fa.use_flash(256, 256)   # small maps: not worth it
     assert not fa.use_flash(4096, 77)   # cross attention
+    # rectangular: the warped-row blend (seq//4 queries, full keys)
+    assert fa.use_flash(1024, 4096)
+    assert fa.use_flash(256, 1024)
+    assert not fa.use_flash(100, 1024)  # non-tiling query axis
