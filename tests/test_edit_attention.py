@@ -129,6 +129,7 @@ def test_cross_attention_edits_at_every_step(masks):
     assert float(jnp.abs(out[3] - ref[3]).max()) > 1e-4
 
 
+@pytest.mark.fast
 def test_warped_row_blend_matches_full(masks):
     """The no-loss CFG fast path (shared-attention blend restricted to the
     static warped-row budget) must be numerically identical to the full-row
@@ -154,6 +155,7 @@ def test_warped_row_blend_matches_full(masks):
         assert float(loss_f) == float(loss_r) == 0.0
 
 
+@pytest.mark.fast
 def test_warped_overflow_flag_fires():
     """A warped mask larger than the seq//4 row budget must raise
     warped_overflow so the host switches to the exact full-blend programs."""
