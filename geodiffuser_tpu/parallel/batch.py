@@ -406,7 +406,14 @@ class ShardedEditSession(EditSession):
         drain_logs()  # last optimize step's logs (overlaps the tail scan)
         _ = np.asarray(latents2[0, 0, 0, 0, :1])  # axon: fetch forces sync
         timings["edit_loop"] = time.time() - t_loop
-        self._warn_row_budget(masks)
+        # Row-budget warnings: batched flags are (E,) per resolution; reduce
+        # over the edit axis.  The returned full_blend flag is irrelevant
+        # here — the batched step programs never take the warped-row fast
+        # path (their EditStates carry past_obj_edit=None).
+        of_res, of_vec = self._overflow_vec(masks)
+        if of_vec is not None:
+            vals = np.asarray(of_vec).reshape(len(of_res), 2, -1).max(axis=-1)
+            self._apply_overflow(of_res, vals)
 
         t_post = time.time()
         flat = latents2.reshape(e * 2, *latents2.shape[2:])
