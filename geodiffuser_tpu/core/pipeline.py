@@ -91,11 +91,25 @@ class Pipeline:
             self._jit_cache[name] = jax.jit(fn)
         return self._jit_cache[name]
 
+    def text_fn(self):
+        """The jitted text-encoder program (exposed so EditSession.precompile
+        can compile it ahead of the first encode_text call)."""
+        return self._jitted("text", lambda p, i: self.text_encoder.apply(p, i))
+
     def encode_text(self, prompts) -> jnp.ndarray:
         """List[str] -> (B, 77, cross_dim) float32 embeddings."""
         ids = jnp.asarray(self.tokenizer(list(prompts)))
-        f = self._jitted("text", lambda p, i: self.text_encoder.apply(p, i))
-        return f(self.params["text"], ids)
+        return self.text_fn()(self.params["text"], ids)
+
+    def vae_enc_fn(self):
+        """The jitted single-image VAE-encode program (see text_fn)."""
+
+        def enc(p, img):
+            x = (img.astype(jnp.float32) * 2.0 - 1.0)[None]
+            mean = self.vae.apply(p, x, method=self.vae.encode)
+            return mean * self.config.vae_scaling_factor
+
+        return self._jitted("vae_enc", enc)
 
     def encode_image(self, image: jnp.ndarray) -> jnp.ndarray:
         """(H, W, 3) float in [0,1] -> (1, h, w, 4) scaled latents.
@@ -103,13 +117,7 @@ class Pipeline:
         Reference: image2latent (diffusion.py:71-97): x*2-1, VAE posterior
         mean, * 0.18215.
         """
-
-        def enc(p, img):
-            x = (img.astype(jnp.float32) * 2.0 - 1.0)[None]
-            mean = self.vae.apply(p, x, method=self.vae.encode)
-            return mean * self.config.vae_scaling_factor
-
-        return self._jitted("vae_enc", enc)(self.params["vae"], jnp.asarray(image))
+        return self.vae_enc_fn()(self.params["vae"], jnp.asarray(image))
 
     def encode_images(self, images: jnp.ndarray) -> jnp.ndarray:
         """(E, H, W, 3) float in [0,1] -> (E, h, w, 4) scaled latents.

@@ -17,6 +17,7 @@ remains a real branch under vmap instead of degrading to a both-sides
 from __future__ import annotations
 
 import dataclasses
+import logging
 import time
 from typing import Dict, List, Optional
 
@@ -32,6 +33,8 @@ from geodiffuser_tpu.core.editor import EditSession
 from geodiffuser_tpu.core.pipeline import Pipeline
 from geodiffuser_tpu.ops import image as image_ops
 from geodiffuser_tpu.parallel import sharding as sh
+
+log = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass
@@ -404,16 +407,32 @@ class ShardedEditSession(EditSession):
             )
 
         drain_logs()  # last optimize step's logs (overlaps the tail scan)
-        _ = np.asarray(latents2[0, 0, 0, 0, :1])  # axon: fetch forces sync
-        timings["edit_loop"] = time.time() - t_loop
-        # Row-budget warnings: batched flags are (E,) per resolution; reduce
-        # over the edit axis.  The returned full_blend flag is irrelevant
-        # here — the batched step programs never take the warped-row fast
-        # path (their EditStates carry past_obj_edit=None).
+        # Row-budget overflow flags ride the sync fetch: ONE packed fetch for
+        # sync probe + flags (a standalone fetch costs a full tunnel round
+        # trip, ~1 s on axon — ADVICE r4).  Batched flags are (E,) per
+        # resolution; warnings reduce over the edit axis but name the
+        # overflowing edit indices.
         of_res, of_vec = self._overflow_vec(masks)
+        probe = latents2[0, 0, 0, 0, :1].astype(jnp.float32)
         if of_vec is not None:
-            vals = np.asarray(of_vec).reshape(len(of_res), 2, -1).max(axis=-1)
-            self._apply_overflow(of_res, vals)
+            packed = np.asarray(jnp.concatenate([probe, of_vec.ravel()]))
+            flags = packed[1:].reshape(len(of_res), 2, -1)
+            fb = self._apply_overflow(of_res, flags.max(axis=-1))
+            if fb:
+                # The batched step programs never take the warped-row fast
+                # path (EditState.past_obj_edit=None), so there are no
+                # full_blend program variants to switch here; surface the
+                # flag loudly so a future batched fast-path adoption cannot
+                # silently drop the blend (ADVICE r4).
+                idxs = np.where(flags[:, 1, :].max(axis=0) > 0.5)[0].tolist()
+                log.warning(
+                    "warped-row budget overflow in edit(s) %s: the batched "
+                    "path already runs full-blend semantics (no fast path)",
+                    idxs,
+                )
+        else:
+            _ = np.asarray(probe)  # axon: fetch forces sync
+        timings["edit_loop"] = time.time() - t_loop
 
         t_post = time.time()
         flat = latents2.reshape(e * 2, *latents2.shape[2:])

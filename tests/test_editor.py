@@ -239,3 +239,118 @@ def test_taps_split_grad_matches_joint(pipe, scene):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4, err_msg=name
         )
+
+
+# --------------------------------------------------------------------------
+# precompile coverage (VERDICT r4 #1/#4): deadline-degraded program set and
+# zero-recompilation guarantees
+
+
+@pytest.fixture(scope="module")
+def overflow_scene():
+    """Mask covering most of the image: its warped rows exceed the static
+    seq//4 no-loss-blend budget at the latent resolution, so run() must flip
+    to the full_blend=True CFG program variants (edit_state.build_mask_sets,
+    tests/test_edit_attention.py::test_warped_overflow_flag_fires)."""
+    rng = np.random.RandomState(3)
+    image = rng.rand(SIZE, SIZE, 3).astype(np.float32)
+    mask = np.zeros((SIZE, SIZE), np.float32)
+    mask[8:120, 8:120] = 1.0
+    depth = np.full((SIZE, SIZE), 0.5, np.float32)
+    return image, depth, mask
+
+
+class _CompileCapture:
+    """Collect jax_log_compiles 'Compiling jit(<name>)' events."""
+
+    def __enter__(self):
+        import logging as _logging
+
+        self.records = []
+        outer = self
+
+        class H(_logging.Handler):
+            def emit(self, r):
+                outer.records.append(r.getMessage())
+
+        self._h = H()
+        self._logger = _logging.getLogger("jax._src.interpreters.pxla")
+        self._logger.addHandler(self._h)
+        self._prev_level = self._logger.level
+        self._logger.setLevel(_logging.WARNING)
+        jax.config.update("jax_log_compiles", True)
+        return self
+
+    def __exit__(self, *exc):
+        jax.config.update("jax_log_compiles", False)
+        self._logger.removeHandler(self._h)
+        self._logger.setLevel(self._prev_level)
+
+    def big_programs(self):
+        """Compile events for session-level programs (step programs, the
+        invert/warp lambdas, the decode bundle) — tiny op-level jits
+        (convert_element_type, concatenate, ...) are allowed."""
+        keys = ("_impl", "_bundle", "<lambda>", "enc")
+        return [r for r in self.records
+                if r.startswith("Compiling") and any(k in r for k in keys)]
+
+
+def test_precompile_deadline_minimal_program_run(pipe, scene):
+    """A precompile whose deadline already passed skips the optional
+    taps-CFG/fused-tail programs, and run() completes on the plain per-step
+    CFG program set with the same output (VERDICT r4 #1 degraded path)."""
+    import time as _time
+
+    image, depth, mask = scene
+    cfg = EditConfig(num_ddim_steps=4, optimize_steps=0.65, skip_optim_steps=2,
+                     latent_replace=0.3)
+    sess = EditSession(pipe, cfg)
+    sess.precompile(deadline_ts=_time.time() - 1.0)
+    rep = sess.last_precompile_report
+    assert rep["minimal_mode"] is True
+    assert any(s.startswith("cfg_taps") for s in rep["skipped"])
+    assert any(s.startswith("cfg_tail") for s in rep["skipped"])
+    assert not sess._use_taps_cfg and not sess._use_fused_tail
+    # critical programs are never skipped
+    assert not any(s.startswith(("invert", "optimize", "cfg[", "preprocess"))
+                   for s in rep["skipped"])
+
+    t = camera.compose_transform(tx=0.05)
+    res = sess.run(image, depth, mask, t, prompt="a thing")
+    assert np.isfinite(res.edited_image).all()
+    assert set(res.loss_log.keys()) == {0, 2}
+
+    full = EditSession(pipe, cfg)
+    res_full = full.run(image, depth, mask, t, prompt="a thing")
+    # taps-reuse CFG and the fused tail are mathematically identical to the
+    # plain per-step program — only fp reassociation differs
+    diff = np.abs(res.edited_image.astype(np.int32)
+                  - res_full.edited_image.astype(np.int32))
+    assert diff.max() <= 3, diff.max()
+
+
+def test_overflow_edit_compiles_nothing_after_precompile(pipe, overflow_scene):
+    """VERDICT r4 #4 done-criterion: after precompile(include_full_blend=True),
+    an edit whose warped mask overflows the row budget triggers ZERO new
+    session-program compilations at run time."""
+    image, depth, mask = overflow_scene
+    cfg = EditConfig(num_ddim_steps=4, optimize_steps=0.65, skip_optim_steps=2,
+                     latent_replace=0.3)
+    sess = EditSession(pipe, cfg)
+    sess.precompile(include_full_blend=True)
+    assert getattr(sess, "_fb_ready", False) is True
+    assert any("fb=1" in k for k in sess.last_precompile_report["timers"])
+
+    # guard against a vacuous pass: the edit must actually take the
+    # full-blend branch (warped mask overflows -> _ensure_full_blend_variants)
+    calls = []
+    orig_ensure = sess._ensure_full_blend_variants
+    sess._ensure_full_blend_variants = lambda *a, **k: (
+        calls.append(1), orig_ensure(*a, **k))[1]
+
+    t = camera.compose_transform(tx=0.05)
+    with _CompileCapture() as cap:
+        res = sess.run(image, depth, mask, t, prompt="a thing")
+    assert calls, "overflow_scene did not trigger the full_blend path"
+    assert np.isfinite(res.edited_image).all()
+    assert cap.big_programs() == [], cap.big_programs()
