@@ -111,7 +111,7 @@ def test_resnext_bottleneck_torch_parity():
     np.testing.assert_allclose(ours, theirs, atol=3e-5, rtol=1e-4)
 
 
-@pytest.mark.fast
+# full tier: ~77 s of 5-backend tiny forwards (fast-tier budget, r5 #7)
 def test_tiny_forwards():
     x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
     hyb = md.DPTHybrid(md.DPTHybridConfig.tiny())

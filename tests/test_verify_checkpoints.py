@@ -64,7 +64,8 @@ def _make_checkpoint(tmp_path):
     return str(root)
 
 
-@pytest.mark.fast
+# full tier: ~2 min of tiny-pipeline compile — repeatedly broke the
+# fast tier's ~7 min budget (VERDICT r4 weak #7 / r5 #7)
 def test_verify_checkpoints_rehearsal(tmp_path):
     import verify_checkpoints as vc
 
@@ -91,7 +92,7 @@ def test_verify_checkpoints_rehearsal(tmp_path):
     assert os.path.exists(tmp_path / "parity_table.json")
 
 
-@pytest.mark.fast
+# full tier: ~55 s rehearsal (fast-tier budget, r5 #7)
 def test_verify_checkpoints_fails_on_corruption(tmp_path):
     """A structurally-corrupted checkpoint (one UNet tensor dropped) must
     FAIL the convert stage and exit non-zero (the report is not a rubber
