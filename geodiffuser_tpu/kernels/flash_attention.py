@@ -34,6 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
@@ -51,15 +52,18 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     q = q_ref[0]  # (BQ, D)
     k = k_ref[0]  # (BK, D)
     v = v_ref[0]
+    # log2 domain: the VPU's transcendental unit is exp2-native (XLA lowers
+    # exp to exp2 + mul); folding log2(e) into the matmul scale deletes one
+    # multiply per logit — measurable at d=40 where softmax, not the MXU,
+    # bounds the kernel.
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                                              # (BQ, BK)
-
+    ) * (scale * LOG2E)                                    # (BQ, BK), log2
     m_prev = m_scr[:]                                      # (BQ, 1)
     m_cur = jnp.max(logits, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(logits - m_new)                            # (BQ, BK)
-    alpha = jnp.exp(m_prev - m_new)                        # (BQ, 1)
+    p = jnp.exp2(logits - m_new)                           # (BQ, BK)
+    alpha = jnp.exp2(m_prev - m_new)                       # (BQ, 1)
     l_new = alpha * l_scr[:] + jnp.sum(p, axis=-1, keepdims=True)
     acc = acc_scr[:] * alpha + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -72,7 +76,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     @pl.when(kv_i == kv_steps - 1)
     def _done():
         o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
-        lse_ref[0] = m_scr[:] + jnp.log(l_scr[:])
+        # lse in NATURAL log units (m is in the log2 domain)
+        lse_ref[0] = (m_scr[:] + jnp.log2(l_scr[:])) * (1.0 / LOG2E)
 
 
 def _flash_fwd_impl(q, k, v, scale, block_q, block_k, interpret):
@@ -137,8 +142,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    p = jnp.exp(logits - lse)                              # (BQ, BK)
+    ) * (scale * LOG2E)                                    # log2 domain
+    p = jnp.exp2(logits - lse * LOG2E)                     # (BQ, BK)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )                                                      # (BQ, BK)
@@ -175,8 +180,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     logits_t = jax.lax.dot_general(
         k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                                              # (BK, BQ)
-    p_t = jnp.exp(logits_t - lse)
+    ) * (scale * LOG2E)                                    # (BK, BQ), log2
+    p_t = jnp.exp2(logits_t - lse * LOG2E)
     dv_scr[:] += jax.lax.dot_general(
         p_t.astype(do.dtype), do, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -275,7 +280,7 @@ def flash_attention(
     v: jnp.ndarray,
     scale: float,
     block_q: int = 512,
-    block_k: int = 1024,
+    block_k: int = 4096,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """softmax(q k^T * scale) v without materializing the map.
@@ -286,12 +291,14 @@ def flash_attention(
     Differentiable: the backward is also a Pallas flash kernel (no HBM map
     in either pass).
 
-    Default blocks (512, 1024) from scripts/tpu_flash_block_probe.py on
-    v5e: the wider k block halves the online-softmax rescale passes and
-    grid steps — ~10-25% faster than 512/512 at both edit-loop flash
-    layers (L=4096 d=40, L=1024 d=80), fwd and fwd+bwd, at every batch
-    width the step programs use (8-24).  Blocks clamp to L, so smaller
-    inputs are unaffected.
+    Default blocks (512, 4096) from scripts/tpu_flash_sweep.py on v5e at
+    the hot shape (8, 4096, 40): block_k clamps to Lk, so every UNet level
+    runs its whole key range in ONE kv step — the online-softmax rescale
+    disappears (exactly one exp2 per logit) and the backward's dk/dv pass
+    keeps its whole accumulator resident.  fwd 1125 -> 1040 us and
+    fwd+bwd 1403 -> ~1074 us vs the old (512, 1024) at d=40 (plus the
+    exp2-domain softmax on top), where the softmax VPU mass, not the MXU,
+    bounds the kernel.
     """
     o, _ = _flash_fwd_impl(q, k, v, scale, block_q, block_k, interpret)
     return o.reshape(q.shape)
