@@ -202,12 +202,19 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _flash_bwd_impl(q, k, v, o, lse, g, scale, block_q, block_k, interpret):
-    """Pallas backward on flattened (B, L, D) operands; returns (dq, dk, dv)."""
+    """Pallas backward on flattened (B, L, D) operands; returns (dq, dk, dv).
+
+    The k block clamps to 1024 regardless of the forward's block_k: the
+    backward kernels hold TWO (BQ, BK) fp32 tiles (logits and dp) plus the
+    probability tile, so bk=4096 blows the 16 MB scoped-VMEM budget inside
+    the full optimize program (measured: the remover program's dkv kernel
+    asked for 20.7 MB), while bk=1024 is speed-equivalent on the sweep
+    (1108 vs 1086 us at (8, 4096, 40) fwd+bwd)."""
     l, d = q.shape[-2:]
     lk = k.shape[-2]
     b = math.prod(q.shape[:-2])
     bq = min(block_q, l)
-    bk = min(block_k, lk)
+    bk = min(block_k, lk, 1024)
 
     qf = q.reshape(b, l, d)
     kf = k.reshape(b, lk, d)

@@ -148,7 +148,17 @@ def _pick_block(n, pref):
     return max(b, 1)
 
 
-def _corr_pallas(qe, ke, qb, kb, inpaint, background, row_mask, scale, interpret):
+def _corr_pallas(qe, ke, qb, kb, inpaint, background, row_mask, scale,
+                 interpret, block_i: int = 256, block_j: int = 1024,
+                 block_k: int = 1024):
+    """Block defaults (256, 1024, 1024) from scripts/tpu_corr_sweep.py on
+    v5e at the 64^2 shapes: the wider (j, k) tiles quarter the number of
+    online-softmax rescale visits per output block — measured -32% (editor
+    K=1024) and -34% (remover K=2048) vs the old (256, 512, 512) at
+    realistic active-row prefixes.  bi stays 256: the activity skip's
+    granularity (cost tracks the real mask, not the budget) beats the
+    fewer-base-softmax-passes of larger bi, and bi>=512 with bj=1024
+    exceeds VMEM."""
     h, k_rows, d = qe.shape
     l = qb.shape[1]
     lk = ke.shape[1]
@@ -167,9 +177,9 @@ def _corr_pallas(qe, ke, qb, kb, inpaint, background, row_mask, scale, interpret
     qe_p = _pad_to(qe_p, 1, 8)
     kp = qe_p.shape[1]
 
-    bi = _pick_block(kp, 256)
-    bj = _pick_block(l, 512)
-    bk = _pick_block(lk_pad, 512)
+    bi = _pick_block(kp, block_i)
+    bj = _pick_block(l, block_j)
+    bk = _pick_block(lk_pad, block_k)
     j_steps = l // bj
     k_steps = lk_pad // bk
     grid = (h, kp // bi, j_steps, k_steps)
