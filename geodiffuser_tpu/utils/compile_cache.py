@@ -12,9 +12,12 @@ instead of erroring through stale entries.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
 import platform
+import re
+import threading
 
 
 def _repo_root() -> str:
@@ -75,6 +78,82 @@ def cpu_cache_dir(root: str | None = None) -> str:
     return d
 
 
+# XLA:CPU's AOT loader (cpu_aot_loader.cc) validates a persisted
+# executable's compile-time target features against the probed host
+# features.  The compile-time list embeds tuning PREFERENCES
+# (+prefer-no-gather/+prefer-no-scatter) that the host probe never
+# reports, so EVERY reload of a persisted CPU executable — including on
+# the very machine that compiled it — logs a multi-KB ERROR line warning
+# of SIGILL risk (measured: fresh dir, one trivial program, second
+# process reloading it).  There is no XLA flag for the check (audited
+# jaxlib's xla_cpu_* flag set).  Real ISA mismatches (e.g. +amx-* present
+# at compile, absent at load) are a genuine hazard and are NOT filtered.
+_AOT_FALSE_POSITIVE = re.compile(
+    rb"cpu_aot_loader\.cc.*Target machine feature "
+    rb"\+prefer-no-(?:gather|scatter) is not")
+_aot_filter_installed = False
+
+
+def install_aot_log_filter() -> bool:
+    """Drop XLA:CPU's cosmetic prefer-no-* AOT reload warnings from stderr.
+
+    Interposes a pipe on fd 2 with a reader thread that forwards every
+    line except the proven-false-positive `cpu_aot_loader.cc ...
+    +prefer-no-{gather,scatter}` ones (see the comment above).  The C++
+    log write bypasses Python's sys.stderr, so the filter must sit at the
+    fd level.  Idempotent; returns True when the filter is active.  Opt
+    out with GEODIFF_NO_AOT_LOG_FILTER=1 (e.g. to eyeball the raw tail).
+    """
+    global _aot_filter_installed
+    if _aot_filter_installed:
+        return True
+    if os.environ.get("GEODIFF_NO_AOT_LOG_FILTER"):
+        return False
+    try:
+        saved = os.dup(2)
+        rfd, wfd = os.pipe()
+        os.dup2(wfd, 2)
+        os.close(wfd)
+    except OSError:
+        return False
+
+    def _pump():
+        buf = b""
+        while True:
+            try:
+                chunk = os.read(rfd, 65536)
+            except OSError:
+                break
+            if not chunk:
+                break
+            buf += chunk
+            *lines, buf = buf.split(b"\n")
+            for ln in lines:
+                if not _AOT_FALSE_POSITIVE.search(ln):
+                    os.write(saved, ln + b"\n")
+        if buf and not _AOT_FALSE_POSITIVE.search(buf):
+            os.write(saved, buf)
+        os.close(rfd)
+
+    t = threading.Thread(target=_pump, name="aot-log-filter", daemon=True)
+    t.start()
+
+    def _restore():
+        # Point fd 2 back at the real stderr; the pipe's last write end
+        # closes with the dup2, the pump drains to EOF, and nothing that
+        # prints during interpreter teardown (tracebacks, atexit logs) can
+        # be lost in the pipe.
+        try:
+            os.dup2(saved, 2)
+            t.join(timeout=2)
+        except OSError:
+            pass
+
+    atexit.register(_restore)
+    _aot_filter_installed = True
+    return True
+
+
 def configure(platform_name: str = "cpu", root: str | None = None) -> str:
     """Point jax's persistent compilation cache at the right directory.
 
@@ -86,4 +165,6 @@ def configure(platform_name: str = "cpu", root: str | None = None) -> str:
     d = cpu_cache_dir(root) if platform_name == "cpu" else tpu_cache_dir(root)
     jax.config.update("jax_compilation_cache_dir", d)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    if platform_name == "cpu":
+        install_aot_log_filter()
     return d
